@@ -1,0 +1,289 @@
+"""Deterministic TV-domain derivation from the synthetic test tables.
+
+The reference's entities (sources, genres, titles, user preferences, the
+source×genre inverted index — SURVEY.md §1.1) don't exist in the driver's
+TPC-H-ish testdata, so this module derives them *deterministically* from
+the tables that do exist, using integer arithmetic only:
+
+- ``sources``      ← supplier   (one streaming source per supplier)
+- ``genres``       ← nation     (one genre per nation)
+- ``titles``       ← part       (one title per part, enrichment fields
+                                 derived so P5/P6/P7 filters partition
+                                 non-trivially — see FIXTURES.md §5)
+- ``user_prefs``   ← customer   (2 source prefs + 2 genre prefs each)
+- ``title_index``  ← part       (2 source links × 2 genre links per title,
+                                 the J2 cross-product index)
+- ``details``      ← part       (the deterministic stand-in for the
+                                 WatchMode details API, SURVEY.md S11/J3)
+
+Because the derivation is pure arithmetic, the DuckDB oracle can rebuild
+the *identical* domain from the same parquet files: ``DOMAIN_CTES`` below
+is the SQL twin of the DataFrame derivations and is prepended to every
+oracle query. Keep the two in lockstep — tests/test_domain.py checks them
+row-for-row.
+
+Scale note: every derivation is a narrow projection (no shuffle except
+the final DISTINCT in index/prefs, which groups on the output key). At
+100 TB the dims (sources/genres) stay broadcast-sized; titles/user_prefs
+scale linearly with part/customer and derive map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# The driver's parquet files store timestamps as TIMESTAMP(NANOS), which
+# Spark's vectorized reader rejects. We read them as raw nanosecond longs
+# (legacy conf) and truncate to microseconds — exactly what DuckDB does on
+# read, so the oracle sees identical values. Integer DIV avoids the
+# double-rounding hazard of `/ 1000` at 1e18 magnitudes.
+_NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLUMNS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def _source_count(supplier: DataFrame) -> DataFrame:
+    """1-row DF with the source count — kept lazy (broadcast cross join)
+    instead of a driver-side .count() so the plan stays fully declarative."""
+    return supplier.agg(F.count("*").alias("sn"))
+
+
+def _genre_count(nation: DataFrame) -> DataFrame:
+    return nation.agg(F.count("*").alias("gn"))
+
+
+def sources(supplier: DataFrame) -> DataFrame:
+    """Streaming-source dim (reference entity: PK ``source:<id>``,
+    src/periodic_reference_data/reference.py:138-143)."""
+    return supplier.select(
+        F.col("s_suppkey").cast("string").alias("source_id"),
+        F.col("s_name").alias("name"),
+    )
+
+
+def genres(nation: DataFrame) -> DataFrame:
+    """Genre dim (reference entity: PK ``genre:<id>``, reference.py:151-158)."""
+    return nation.select(
+        F.col("n_nationkey").cast("string").alias("genre_id"),
+        F.col("n_name").alias("name"),
+    )
+
+
+def titles(part: DataFrame) -> DataFrame:
+    """Canonical title records incl. enrichment fields (reference:
+    consumer.py:61-69 + enrichment.py:114-125).
+
+    Enrichment-field distributions are chosen so the reference's filters
+    are non-trivial: ``user_rating`` 0.0–10.0 straddles the
+    recommendations cutoff (strict > 7, web_api.py:229-235); poster is
+    NULL for partkey%7==0 and '' for %7==1 (both excluded by the
+    enriched-only display filter, web_api.py:203-207); plot_overview is
+    NULL for partkey%11==0.
+    """
+    pk = F.col("p_partkey")
+    return part.select(
+        pk.alias("title_id"),
+        F.col("p_name").alias("title"),
+        (F.lit(1990) + pk % 35).alias("year"),
+        F.when(pk % 2 == 0, F.lit("movie")).otherwise(F.lit("tv_series")).alias("type"),
+        ((pk % 101).cast("double") / F.lit(10.0)).alias("user_rating"),
+        F.when(pk % 7 == 0, F.lit(None).cast("string"))
+        .when(pk % 7 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("https://img.example/poster/"), pk.cast("string")))
+        .alias("poster"),
+        F.when(pk % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("Overview: "), F.col("p_name")))
+        .alias("plot_overview"),
+    )
+
+
+def title_index(part: DataFrame, supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """The source×genre inverted index (reference: consumer.py:79-89).
+
+    Each title links to 2 sources and 2 genres; the index is the DISTINCT
+    union of the (source, genre) pairings, exactly what the reference's
+    nested put-loop materializes. The count cross-joins are 1-row
+    broadcasts; the DISTINCT is the only shuffle and groups on the
+    index's natural key.
+    """
+    pk = F.col("p_partkey")
+    base = part.crossJoin(F.broadcast(_source_count(supplier))).crossJoin(
+        F.broadcast(_genre_count(nation))
+    )
+    # each title carries 2 sources × 2 genres; the index is the full cross
+    # product of those arrays, like the reference's nested put-loop
+    s1, s2 = pk % F.col("sn"), (pk * 7 + 3) % F.col("sn")
+    g1, g2 = pk % F.col("gn"), (pk * 11 + 5) % F.col("gn")
+    links = None
+    for s in (s1, s2):
+        for g in (g1, g2):
+            row = base.select(
+                s.cast("string").alias("source_id"),
+                g.cast("string").alias("genre_id"),
+                pk.alias("title_id"),
+            )
+            links = row if links is None else links.unionAll(row)
+    return links.distinct()
+
+
+def user_prefs(customer: DataFrame, supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """One row per user selection (reference: preferences.py:153-161):
+    2 source prefs + 2 genre prefs per customer, DISTINCT because the
+    arithmetic can collide (mirrors the reference's set semantics —
+    (PK, SK) is the primary key, duplicates are impossible)."""
+    ck = F.col("c_custkey")
+    base = customer.crossJoin(F.broadcast(_source_count(supplier))).crossJoin(
+        F.broadcast(_genre_count(nation))
+    )
+    uid = ck.cast("string").alias("user_id")
+    rows = [
+        base.select(uid, F.lit("source").alias("kind"),
+                    (ck % F.col("sn")).cast("string").alias("pref_id")),
+        base.select(uid, F.lit("source").alias("kind"),
+                    ((ck * 13 + 7) % F.col("sn")).cast("string").alias("pref_id")),
+        base.select(uid, F.lit("genre").alias("kind"),
+                    F.col("c_nationkey").cast("string").alias("pref_id")),
+        base.select(uid, F.lit("genre").alias("kind"),
+                    ((ck * 3 + 1) % F.col("gn")).cast("string").alias("pref_id")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.distinct()
+
+
+def details(part: DataFrame) -> DataFrame:
+    """Deterministic enrichment-details lookup (stands in for the
+    WatchMode /v1/title/{id}/details/ HTTP call, enrichment.py:69-79).
+    Titles with partkey%13==0 have no details row (the fetch-failure
+    path, enrichment.py:104-106)."""
+    t = titles(part)
+    return t.filter(F.col("title_id") % 13 != 0).select(
+        "title_id", "plot_overview", "poster", "user_rating"
+    )
+
+
+def derive_domain(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All derived TV-domain tables plus the raw test tables."""
+    t = load_tables(spark, sf_dir)
+    t["sources"] = sources(t["supplier"])
+    t["genres"] = genres(t["nation"])
+    t["titles"] = titles(t["part"])
+    t["title_index"] = title_index(t["part"], t["supplier"], t["nation"])
+    t["user_prefs"] = user_prefs(t["customer"], t["supplier"], t["nation"])
+    t["details"] = details(t["part"])
+    return t
+
+
+# ---------------------------------------------------------------------------
+# SQL twin for the DuckDB oracle. MUST stay semantically identical to the
+# DataFrame derivations above (tests/test_domain.py enforces this).
+# ---------------------------------------------------------------------------
+
+DOMAIN_CTES = """
+src_n AS (SELECT count(*) AS sn FROM supplier),
+gen_n AS (SELECT count(*) AS gn FROM nation),
+sources AS (
+  SELECT CAST(s_suppkey AS VARCHAR) AS source_id, s_name AS name FROM supplier
+),
+genres AS (
+  SELECT CAST(n_nationkey AS VARCHAR) AS genre_id, n_name AS name FROM nation
+),
+titles AS (
+  SELECT
+    p_partkey AS title_id,
+    p_name AS title,
+    1990 + p_partkey % 35 AS year,
+    CASE WHEN p_partkey % 2 = 0 THEN 'movie' ELSE 'tv_series' END AS type,
+    CAST(p_partkey % 101 AS DOUBLE) / 10.0 AS user_rating,
+    CASE WHEN p_partkey % 7 = 0 THEN NULL
+         WHEN p_partkey % 7 = 1 THEN ''
+         ELSE 'https://img.example/poster/' || CAST(p_partkey AS VARCHAR)
+    END AS poster,
+    CASE WHEN p_partkey % 11 = 0 THEN NULL
+         ELSE 'Overview: ' || p_name
+    END AS plot_overview
+  FROM part
+),
+title_index AS (
+  SELECT DISTINCT source_id, genre_id, title_id FROM (
+    SELECT CAST(p_partkey % sn AS VARCHAR) AS source_id,
+           CAST(p_partkey % gn AS VARCHAR) AS genre_id,
+           p_partkey AS title_id
+    FROM part, src_n, gen_n
+    UNION ALL
+    SELECT CAST(p_partkey % sn AS VARCHAR),
+           CAST((p_partkey * 11 + 5) % gn AS VARCHAR),
+           p_partkey
+    FROM part, src_n, gen_n
+    UNION ALL
+    SELECT CAST((p_partkey * 7 + 3) % sn AS VARCHAR),
+           CAST(p_partkey % gn AS VARCHAR),
+           p_partkey
+    FROM part, src_n, gen_n
+    UNION ALL
+    SELECT CAST((p_partkey * 7 + 3) % sn AS VARCHAR),
+           CAST((p_partkey * 11 + 5) % gn AS VARCHAR),
+           p_partkey
+    FROM part, src_n, gen_n
+  )
+),
+user_prefs AS (
+  SELECT DISTINCT user_id, kind, pref_id FROM (
+    SELECT CAST(c_custkey AS VARCHAR) AS user_id, 'source' AS kind,
+           CAST(c_custkey % sn AS VARCHAR) AS pref_id
+    FROM customer, src_n
+    UNION ALL
+    SELECT CAST(c_custkey AS VARCHAR), 'source',
+           CAST((c_custkey * 13 + 7) % sn AS VARCHAR)
+    FROM customer, src_n
+    UNION ALL
+    SELECT CAST(c_custkey AS VARCHAR), 'genre',
+           CAST(c_nationkey AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT CAST(c_custkey AS VARCHAR), 'genre',
+           CAST((c_custkey * 3 + 1) % gn AS VARCHAR)
+    FROM customer, gen_n
+  )
+),
+details AS (
+  SELECT title_id, plot_overview, poster, user_rating
+  FROM titles WHERE title_id % 13 <> 0
+)
+"""
+
+
+def with_domain(select_sql: str) -> str:
+    """Wrap an oracle SELECT with the domain CTE prelude."""
+    return f"WITH {DOMAIN_CTES.strip()}\n{select_sql}"

@@ -1,0 +1,108 @@
+"""Admin / observability analytics.
+
+Reference: scripts/utils/dynamodb_inspector.sh:87-140 (jq analytics),
+src/admin_lambda/admin_lambda.py:28-185 (table summaries, trailing-1h
+metrics, latest-log-stream), remote smoke-test predicates
+(SURVEY.md A1-A7, W1/W2, P7/P8).
+
+Everything here is a single groupBy/window pass — partial (map-side)
+aggregation applies to every count/sum, so these stay one-shuffle plans
+at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def distinct_preferences(user_prefs: DataFrame) -> DataFrame:
+    """A1 — the global distinct-union of preferred ids per kind, sorted
+    for determinism (ingestion.py:99-116)."""
+    return user_prefs.select("kind", "pref_id").distinct()
+
+
+def top_combinations(title_index: DataFrame, k: int = 20) -> DataFrame:
+    """A3 — index rows per source×genre combination, top-k by count
+    (dynamodb_inspector.sh:110-120). Deterministic tie-break on the key
+    so LIMIT is stable across engines."""
+    return (
+        title_index.groupBy("source_id", "genre_id")
+        .agg(F.count("*").alias("n_titles"))
+        .orderBy(F.desc("n_titles"), "source_id", "genre_id")
+        .limit(k)
+    )
+
+
+def data_quality_counts(titles: DataFrame) -> DataFrame:
+    """A4/P7/P8 — the inspector's data-quality metrics in ONE pass
+    (conditional sums instead of four scans): total titles, enriched
+    (poster+plot present, web_api.py:203-207), unenriched
+    (dynamodb_inspector.sh:126-132), rated>7 (web_api.py:233)."""
+    enriched = (
+        F.col("poster").isNotNull()
+        & (F.col("poster") != "")
+        & F.col("plot_overview").isNotNull()
+        & (F.col("plot_overview") != "")
+    )
+    return titles.agg(
+        F.count("*").alias("total_titles"),
+        F.sum(F.when(enriched, 1).otherwise(0)).alias("enriched"),
+        F.sum(F.when(~enriched, 1).otherwise(0)).alias("unenriched"),
+        F.sum(F.when(F.col("user_rating") > 7, 1).otherwise(0)).alias("recommendable"),
+    )
+
+
+def table_summary(tables: dict[str, DataFrame]) -> DataFrame:
+    """A5 — item_count per table (admin_lambda.py:28-49). Counts are
+    metadata-cheap on parquet (row-group stats)."""
+    out = None
+    for name in sorted(tables):
+        row = tables[name].agg(
+            F.lit(name).alias("table_name"), F.count("*").alias("item_count")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def hourly_metrics(events: DataFrame) -> DataFrame:
+    """A6 — the trailing-1h CloudWatch metric sum generalized to hourly
+    buckets per event type (admin_lambda.py:72-150): invocation count,
+    error count, ``success = max(0, n - errors)``."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("invocations"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+        )
+        .select(
+            "hour",
+            "event_type",
+            "invocations",
+            F.greatest(F.lit(0), F.col("invocations") - F.col("errors")).alias("successes"),
+        )
+    )
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """W1 — latest-by-group: most recent event per user
+    (admin_lambda.py:166-177's latest-log-stream). row_number over a
+    (user_id) window; tie-broken on event_id for determinism."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+def tail_events(events: DataFrame, k: int = 20) -> DataFrame:
+    """W2 — tail-k: the last k events (admin_lambda.py:179-185,
+    startFromHead=False + limit). Deterministic tie-break on event_id;
+    Spark executes this as TakeOrderedAndProject (no full sort)."""
+    return events.orderBy(F.desc("ts"), F.desc("event_id")).limit(k).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

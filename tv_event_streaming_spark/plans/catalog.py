@@ -1,0 +1,428 @@
+"""The query catalog.
+
+One :class:`CatalogEntry` per implemented operator from SURVEY.md §2.
+``build`` is the idiomatic-Spark plan (DataFrame API); ``oracle`` is the
+ANSI-SQL twin DuckDB runs on the same parquet tables for the driver's
+row-count + schema + value-hash comparison. Entries with ``oracle=None``
+are genuinely non-SQL-expressible and get a rows-only check.
+
+Determinism rules every entry follows:
+- every computed column is aliased IDENTICALLY in both plans;
+- any LIMIT/top-k is tie-broken on a unique key;
+- floating aggregates go through exact DECIMAL accumulation and a single
+  final cast to DOUBLE, so Spark and DuckDB produce bit-identical values
+  regardless of summation order;
+- counts are BIGINT on both sides (DuckDB SUM() is HUGEINT — always cast).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..domain import derive_domain, load_table, with_domain
+from ..operators import analytics as A
+from ..operators import preferences as P
+from ..operators import titles as TI
+from ..schemas import USER_PREF_SCHEMA
+from ..sources import events as EV
+
+
+@dataclass(frozen=True)
+class CatalogEntry:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+CATALOG: dict[str, CatalogEntry] = {}
+
+
+def register(
+    name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()
+) -> Callable:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        CATALOG[name] = CatalogEntry(name=name, build=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Reference-data reads (S2/S3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "get_sources",
+    with_domain("SELECT source_id, name FROM sources"),
+    doc="S3 — GET /sources projection (web_api.py:50-75)",
+    tags=("scan", "projection"),
+)
+def q_get_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_domain(spark, sf_dir)["sources"]
+
+
+@register(
+    "get_genres",
+    with_domain("SELECT genre_id, name FROM genres"),
+    doc="S3 — GET /genres projection (web_api.py:50-75)",
+    tags=("scan", "projection"),
+)
+def q_get_genres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_domain(spark, sf_dir)["genres"]
+
+
+# ---------------------------------------------------------------------------
+# Preference reads (S4) and the delta mutation (J5/SO2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "get_preferences",
+    with_domain(
+        "SELECT user_id, kind, pref_id FROM user_prefs WHERE CAST(user_id AS BIGINT) <= 5"
+    ),
+    doc="S4 — key-range read: all preference rows for users 0-5 (preferences.py:90-100)",
+    tags=("scan", "filter"),
+)
+def q_get_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_domain(spark, sf_dir)
+    return P.get_preferences(d["user_prefs"], F.col("user_id").cast("long") <= 5)
+
+
+_NEW_PREFS = [
+    ("1", "source", "1"),
+    ("1", "source", "2"),
+    ("1", "source", "3"),
+    ("1", "genre", "0"),
+    ("1", "genre", "5"),
+]
+
+_PREFS_DELTA_ORACLE = with_domain(
+    """
+, new_prefs AS (
+    SELECT * FROM (VALUES ('1','source','1'),('1','source','2'),('1','source','3'),
+                          ('1','genre','0'),('1','genre','5'))
+    AS t(user_id, kind, pref_id)
+), old_prefs AS (SELECT user_id, kind, pref_id FROM user_prefs WHERE user_id = '1')
+SELECT 'add' AS op, user_id, kind, pref_id FROM new_prefs n
+WHERE NOT EXISTS (SELECT 1 FROM old_prefs o
+                  WHERE o.user_id=n.user_id AND o.kind=n.kind AND o.pref_id=n.pref_id)
+UNION ALL
+SELECT 'delete' AS op, user_id, kind, pref_id FROM old_prefs o
+WHERE NOT EXISTS (SELECT 1 FROM new_prefs n
+                  WHERE o.user_id=n.user_id AND o.kind=n.kind AND o.pref_id=n.pref_id)
+"""
+)
+
+
+@register(
+    "prefs_delta",
+    _PREFS_DELTA_ORACLE,
+    doc="J5/SO2 — PUT /preferences delta: adds=new−old, deletes=old−new "
+    "(preferences.py:128-161, web_api.py:101-145)",
+    tags=("anti-join", "set-op", "mutation"),
+)
+def q_prefs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_domain(spark, sf_dir)
+    old = d["user_prefs"].filter(F.col("user_id") == "1")
+    new = spark.createDataFrame(_NEW_PREFS, USER_PREF_SCHEMA)
+    return P.prefs_delta(old, new)
+
+
+# ---------------------------------------------------------------------------
+# The flagship read (J1) and recommendations (P5)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_SELECT = """
+, ps AS (SELECT user_id, pref_id AS source_id FROM user_prefs
+         WHERE kind='source' AND CAST(user_id AS BIGINT) <= 20),
+pg AS (SELECT user_id, pref_id AS genre_id FROM user_prefs
+       WHERE kind='genre' AND CAST(user_id AS BIGINT) <= 20),
+tids AS (
+  SELECT DISTINCT ps.user_id, ti.title_id
+  FROM ps JOIN pg ON ps.user_id = pg.user_id
+  JOIN title_index ti ON ti.source_id = ps.source_id AND ti.genre_id = pg.genre_id
+)
+SELECT tids.user_id, t.title_id,
+       COALESCE(t.title, 'Unknown Title') AS title,
+       t.plot_overview, t.poster,
+       COALESCE(CAST(t.user_rating AS DOUBLE), 0.0) AS user_rating
+FROM tids JOIN titles t ON tids.title_id = t.title_id
+WHERE t.poster IS NOT NULL AND t.poster <> ''
+  AND t.plot_overview IS NOT NULL AND t.plot_overview <> ''
+"""
+
+
+@register(
+    "titles_for_users",
+    with_domain(_FLAGSHIP_SELECT),
+    doc="J1 — the flagship GET /titles semi-join for users 0-20 "
+    "(web_api.py:147-223; SURVEY.md §3.1)",
+    tags=("join", "distinct", "flagship"),
+)
+def q_titles_for_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_domain(spark, sf_dir)
+    return TI.titles_for_users(
+        d["user_prefs"], d["title_index"], d["titles"],
+        user_filter=F.col("user_id").cast("long") <= 20,
+    )
+
+
+@register(
+    "recommendations",
+    with_domain(_FLAGSHIP_SELECT + " AND t.user_rating > 7"),
+    doc="P5 — GET /recommendations = flagship + strict user_rating > 7 "
+    "(web_api.py:229-235)",
+    tags=("join", "filter", "flagship"),
+)
+def q_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_domain(spark, sf_dir)
+    return TI.recommendations_for_users(
+        d["user_prefs"], d["title_index"], d["titles"],
+        user_filter=F.col("user_id").cast("long") <= 20,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index build (J2) — arrays → double explode → index
+# ---------------------------------------------------------------------------
+
+@register(
+    "index_build",
+    with_domain("SELECT source_id, genre_id, title_id FROM title_index"),
+    doc="J2 — inverted-index build: per-title id arrays double-exploded "
+    "(consumer.py:79-89); round-trips arrays_from_index ∘ index_from_arrays",
+    tags=("explode", "distinct"),
+)
+def q_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_domain(spark, sf_dir)
+    return TI.index_from_arrays(TI.arrays_from_index(d["title_index"]))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1, A3-A6) and windows (W1, W2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "distinct_prefs",
+    with_domain("SELECT DISTINCT kind, pref_id FROM user_prefs"),
+    doc="A1 — global distinct-union of preferred ids per kind (ingestion.py:99-116)",
+    tags=("distinct",),
+)
+def q_distinct_prefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.distinct_preferences(derive_domain(spark, sf_dir)["user_prefs"])
+
+
+@register(
+    "top_combinations",
+    with_domain(
+        """
+SELECT source_id, genre_id, CAST(count(*) AS BIGINT) AS n_titles
+FROM title_index GROUP BY source_id, genre_id
+ORDER BY n_titles DESC, source_id, genre_id LIMIT 20
+"""
+    ),
+    doc="A3 — top-20 source×genre combinations by title count "
+    "(dynamodb_inspector.sh:110-120)",
+    tags=("groupby", "topk"),
+)
+def q_top_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.top_combinations(derive_domain(spark, sf_dir)["title_index"], k=20)
+
+
+@register(
+    "data_quality",
+    with_domain(
+        """
+SELECT CAST(count(*) AS BIGINT) AS total_titles,
+       CAST(SUM(CASE WHEN poster IS NOT NULL AND poster <> ''
+                      AND plot_overview IS NOT NULL AND plot_overview <> ''
+                THEN 1 ELSE 0 END) AS BIGINT) AS enriched,
+       CAST(SUM(CASE WHEN poster IS NOT NULL AND poster <> ''
+                      AND plot_overview IS NOT NULL AND plot_overview <> ''
+                THEN 0 ELSE 1 END) AS BIGINT) AS unenriched,
+       CAST(SUM(CASE WHEN user_rating > 7 THEN 1 ELSE 0 END) AS BIGINT) AS recommendable
+FROM titles
+"""
+    ),
+    doc="A4/P7/P8 — one-pass data-quality counts (dynamodb_inspector.sh:126-132, "
+    "remote_deploy_and_smoke_test.sh:149-162)",
+    tags=("agg", "conditional-count"),
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.data_quality_counts(derive_domain(spark, sf_dir)["titles"])
+
+
+_SUMMARY_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+_TABLE_SUMMARY_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS item_count FROM {t}"
+    for t in sorted(_SUMMARY_TABLES)
+)
+
+
+@register(
+    "table_summary",
+    _TABLE_SUMMARY_ORACLE,
+    doc="A5 — item_count per table (admin_lambda.py:28-49)",
+    tags=("agg",),
+)
+def q_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = {t: load_table(spark, sf_dir, t) for t in _SUMMARY_TABLES}
+    return A.table_summary(tables)
+
+
+@register(
+    "hourly_metrics",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS invocations,
+       GREATEST(0, CAST(count(*) AS BIGINT)
+                   - CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT)
+       ) AS successes
+FROM events GROUP BY date_trunc('hour', ts), event_type
+""",
+    doc="A6 — the trailing-1h metric sum generalized to hourly buckets: "
+    "invocations, successes=max(0,n−errors) (admin_lambda.py:72-150)",
+    tags=("agg", "time-window"),
+)
+def q_hourly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return A.hourly_metrics(ev).drop("errors").select(
+        "hour", "event_type", "invocations", "successes"
+    )
+
+
+@register(
+    "latest_event_per_user",
+    """
+SELECT user_id, event_id, ts, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+    doc="W1 — latest-by-group via row_number()==1 (admin_lambda.py:166-177)",
+    tags=("window",),
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.latest_event_per_user(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "tail_events",
+    """
+SELECT event_id, ts, user_id, event_type, value FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 20
+""",
+    doc="W2 — tail-k: last 20 events (admin_lambda.py:179-185)",
+    tags=("sort", "limit"),
+)
+def q_tail_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.tail_events(load_table(spark, sf_dir, "events"), k=20)
+
+
+# ---------------------------------------------------------------------------
+# Envelope codec round-trip (S8/S9/P10, F4/F5/F8)
+# ---------------------------------------------------------------------------
+
+_ENVELOPE_ORACLE = with_domain(
+    """
+, idx AS (
+  SELECT title_id,
+         CAST(count(DISTINCT source_id) AS INTEGER) AS n_sources,
+         CAST(count(DISTINCT genre_id) AS INTEGER) AS n_genres
+  FROM title_index GROUP BY title_id
+)
+SELECT t.title_id AS id, t.title,
+       CAST(t.year AS INTEGER) AS year,
+       'tt' || CAST(t.title_id AS VARCHAR) AS imdb_id,
+       t.title_id * 2 AS tmdb_id,
+       CASE WHEN t.type = 'movie' THEN 'movie' ELSE 'tv' END AS tmdb_type,
+       t.type,
+       i.n_sources, i.n_genres,
+       TIMESTAMP '2025-07-04 16:02:51' AS publish_timestamp,
+       'scheduled_user_prefs_ingestion' AS publish_cause
+FROM titles t JOIN idx i ON t.title_id = i.title_id
+"""
+)
+
+
+@register(
+    "envelope_roundtrip",
+    _ENVELOPE_ORACLE,
+    doc="S8→S9 — producer envelope (JSON+base64, ingestion.py:157-167) decoded "
+    "back by the consumer codec (consumer.py:37-53); identity ⇒ oracle is the "
+    "plain projection",
+    tags=("codec", "json", "base64"),
+)
+def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_domain(spark, sf_dir)
+    arrays = TI.arrays_from_index(d["title_index"])
+    payload = d["titles"].join(arrays, "title_id").select(
+        F.col("title_id").alias("id"),
+        "title",
+        F.col("year").cast("int").alias("year"),
+        F.concat(F.lit("tt"), F.col("title_id").cast("string")).alias("imdb_id"),
+        (F.col("title_id") * 2).alias("tmdb_id"),
+        F.when(F.col("type") == "movie", F.lit("movie")).otherwise(F.lit("tv")).alias("tmdb_type"),
+        "type",
+        "source_ids",
+        "genre_ids",
+        F.lit("2025-07-04 16:02:51").cast("timestamp").alias("publish_ts"),
+    )
+    wire = EV.encode_envelope(payload, EV.PAYLOAD_COLS, "publish_ts")
+    decoded = EV.decode_envelope(wire)
+    return decoded.select(
+        "id", "title", "year", "imdb_id", "tmdb_id", "tmdb_type", "type",
+        F.size("source_ids").alias("n_sources"),
+        F.size("genre_ids").alias("n_genres"),
+        F.col("publish_timestamp"),
+        F.col("publish_cause"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface (F1-F15)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_functions",
+    """
+SELECT event_id,
+       'event:' || CAST(event_id AS VARCHAR) AS pk,
+       CAST(split_part('event:' || CAST(event_id AS VARCHAR), ':', 2) AS BIGINT) AS parsed_id,
+       starts_with(event_type, 'e') AS starts_e,
+       upper(event_type) = 'ERROR' AS is_error,
+       COALESCE(NULLIF(event_type, 'error'), 'N/A') AS et_default,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso,
+       ts + INTERVAL 1 HOUR AS ts_plus_1h,
+       COALESCE(CAST(value AS DOUBLE), 0.0) AS value_d
+FROM events
+""",
+    doc="F1/F2/F3/F5/F7/F8/F9/F13/F14 — key build/parse, prefix predicates, "
+    "JSON extraction, ISO formatting, interval arithmetic, coalesce defaults "
+    "(SURVEY.md §2.7)",
+    tags=("scalar",),
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pk = F.concat(F.lit("event:"), F.col("event_id").cast("string"))
+    return ev.select(
+        "event_id",
+        pk.alias("pk"),
+        F.split(pk, ":").getItem(1).cast("long").alias("parsed_id"),
+        F.col("event_type").startswith("e").alias("starts_e"),
+        (F.upper("event_type") == "ERROR").alias("is_error"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("N/A")).alias("et_default"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts_plus_1h"),
+        F.coalesce(F.col("value").cast("double"), F.lit(0.0)).alias("value_d"),
+    )
