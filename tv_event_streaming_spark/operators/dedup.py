@@ -1,0 +1,254 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first — at 100 TB you run them in this order and
+each tier prunes the next one's input:
+
+1. **Exact** — hash-groupBy on a content fingerprint. One shuffle on the
+   hash; keeper = min(doc_id) per group.
+2. **N-gram Jaccard** — shingle → explode → self-join on shingle →
+   per-pair intersection counts → Jaccard. Exact but quadratic in the
+   worst case; the hot-shingle filter bounds the blow-up.
+3. **MinHash + LSH banding** — per-doc k-permutation signature via
+   seeded xxhash64, banded into buckets; only same-bucket pairs get the
+   exact Jaccard check. Near-linear; the scale path.
+4. **SimHash** — 64-bit weighted-sign hash per doc; near-dups differ in
+   ≤ k bits, found via band equi-joins on 16-bit quarters.
+
+All built from DataFrame ops (xxhash64, explode, groupBy) — no Python in
+the pairwise paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalized, word_ngrams
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tier 1 — exact dedup by md5 of normalized content: per content
+    group, the keeper (min doc_id) and the copy count."""
+    return (
+        docs.select(
+            F.md5(F.to_binary(normalized(F.col(text_col)), F.lit("utf-8"))).alias(
+                "content_hash"
+            ),
+            "doc_id",
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Tier 2 — exact pairwise Jaccard over distinct word n-grams.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents before the self-join — the standard guard against hot
+    shingles exploding the candidate-pair count at scale (changes
+    candidate generation only for pairs whose every shared shingle is
+    hot; document the tradeoff when enabling it).
+    """
+    sh = _shingles(docs, text_col, n)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", num_hashes: int = 32, n: int = 3
+) -> DataFrame:
+    """Tier 3a — k-permutation MinHash signature per document.
+
+    Each of the k hash functions is xxhash64 seeded with the function
+    index; the signature element is the min over the doc's shingles.
+    Shuffles once (groupBy doc_id) regardless of k.
+    """
+    sh = _shingles(docs, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Tier 3b — LSH banding: hash each band of the signature to a bucket;
+    docs sharing any (band, bucket) are candidate pairs. Probability a
+    pair with Jaccard s collides: 1-(1-s^r)^b."""
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Tier 3 end-to-end: signatures → LSH candidates → exact Jaccard
+    verification of candidates only → pairs above threshold."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, num_hashes, n)
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    exact = ngram_jaccard_pairs(docs, text_col, n)
+    return (
+        cands.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tier 4a — 64-bit SimHash: per token, xxhash64 contributes ±1 to
+    each bit position by its bit value; the signature bit is the sign of
+    the sum. Expressed as explode(tokens) × explode(bits) + one groupBy —
+    all JVM-side; no Python.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(normalized(F.col(text_col)), " ")
+        ).alias("token"),
+    ).withColumn("th", F.xxhash64("token"))
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("th"),
+    ).select(
+        "doc_id",
+        "bit",
+        # shiftright's Python API wants a literal shift — use the SQL form
+        # for a column-valued shift
+        F.when(F.expr("shiftright(th, bit)").bitwiseAND(F.lit(1)) == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("w"),
+    )
+    bitsum = bits.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
+    return bitsum.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Tier 4b — near-pairs by Hamming distance ≤ k, candidate-generated
+    by equality on any 16-bit quarter (pigeonhole: distance ≤ 3 ⇒ some
+    quarter equal; wider k trades recall) then verified exactly with
+    bit_count(xor)."""
+    quarters = signatures.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright("simhash", q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("quarter"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("qq"),
+    ).select("doc_id", "simhash", "qq.q", "qq.quarter")
+    a, b = quarters.alias("a"), quarters.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.quarter") == F.col("b.quarter"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,114 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real — binary payload column, metadata struct,
+Arrow-batched ``mapInPandas`` feature extraction with a bounded batch
+size — while the actual codec calls are stubbed (no image/audio libs in
+this container): ``decode_stub`` raises ``NotImplementedError`` and the
+deterministic fake path computes byte-level features instead.
+
+At 100 TB the pattern is: payloads stay in parquet binary columns
+(or pointers to object storage), metadata prunes partitions, and the
+decode UDF runs once per Arrow batch, never per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "doc_id bigint, media_type string, byte_size int, checksum string"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, byte_size int, checksum string, "
+    "fake_frames int, fake_mean_byte double"
+)
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build a multimodal-shaped table from documents: payload =
+    utf-8 bytes of the text (stand-in for image/audio bytes), plus a
+    typed metadata struct derived deterministically."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+            .otherwise(F.lit("video"))
+            .alias("media_type"),
+            F.octet_length(payload).alias("byte_size"),
+            F.md5(payload).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes, media_type: str):
+    """The real-codec boundary. In production this dispatches to PIL /
+    torchaudio / pyav; those libs aren't in this container."""
+    raise NotImplementedError(
+        f"real {media_type} decoding requires codec libraries not present "
+        "in this environment; use extract_features(fake=True)"
+    )
+
+
+def extract_features(media: DataFrame, fake: bool = True, batch_size: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload.
+
+    ``mapInPandas`` keeps the decode loop per-batch (not per-row); the
+    fake path computes deterministic byte-level stand-ins with the same
+    schema/batching the real codecs would use.
+    """
+
+    # NOTE: this closure must stay self-contained (stdlib + pandas only).
+    # Referencing module globals would make cloudpickle serialize them by
+    # reference to this package, which isn't importable on the driver's
+    # Python workers unless shipped with addPyFile.
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_size": pdf["byte_size"],
+                    "checksum": pdf["checksum"],
+                }
+            )
+            if not fake:
+                raise NotImplementedError(
+                    "real media decoding requires codec libraries not present "
+                    "in this environment; use extract_features(fake=True)"
+                )
+            out["fake_frames"] = (pdf["byte_size"] % 30 + 1).astype("int32")
+            out["fake_mean_byte"] = [
+                float(sum(p)) / len(p) if len(p) else 0.0 for p in pdf["payload"]
+            ]
+            yield out
+
+    flat = media.select(
+        "doc_id",
+        "payload",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.byte_size").alias("byte_size"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+    flat = flat.withColumn("byte_size", F.col("byte_size").cast("int"))
+    return flat.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Pure-JVM metadata projection (no UDF): the query-able face of the
+    multimodal table."""
+    return media.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.byte_size").cast("int").alias("byte_size"),
+        F.col("meta.checksum").alias("checksum"),
+    )

@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- **Brute-force cosine top-k** — the correctness baseline: query set ×
+  corpus, JVM-side ``zip_with``/``aggregate`` dot products, per-query
+  ``row_number`` top-k. O(|Q|·N); right when |Q| is small or as the
+  re-rank stage.
+- **Random-hyperplane LSH buckets** — the scale path: 16-bit signatures
+  from deterministic (xxhash64-derived) hyperplanes; candidates share a
+  bucket, then exact re-rank. Sub-linear candidate generation; recall
+  tunable with bands/bits.
+
+Determinism contract: dot products quantize each component to an int64
+(floor(x·1e6)) so sums are exact integer arithmetic — bit-identical in
+any engine and any summation order. Cosines derived from those integers
+in double are then deterministic too (see plans/datapipe.py oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+QUANT = 1_000_000
+
+
+def _q(x: Column) -> Column:
+    """Quantize a float component to int64: floor(double(x)·1e6)."""
+    return F.floor(x.cast("double") * QUANT).cast("long")
+
+
+def quantized_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _q(x) * _q(y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_norm_sq(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: _q(x) * _q(x)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: queries (filtered subset) × corpus.
+
+    The query side is broadcast (it's small by construction); the corpus
+    never shuffles. Ranking ties break on neighbor id for determinism.
+    """
+    q = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        quantized_norm_sq(F.col(vec_col)).alias("cnorm"),
+    )
+    pairs = F.broadcast(q.withColumn("qnorm", quantized_norm_sq(F.col("qvec")))).join(
+        c, F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (
+            quantized_dot(F.col("qvec"), F.col("cvec")).cast("double")
+            / F.sqrt(F.col("qnorm").cast("double") * F.col("cnorm").cast("double"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def hyperplane_signature(
+    vec: Column, dims: int, bits: int = 16
+) -> Column:
+    """Random-hyperplane LSH signature as an integer bucket id.
+
+    Hyperplane p's component d is ±1 derived from xxhash64(p, d) — fully
+    deterministic, no driver-side randomness to ship to executors. The
+    signature bit is sign(Σ_d vec[d]·plane[p][d]).
+    """
+    def bit(p: int) -> Column:
+        comp = lambda d: F.when(  # noqa: E731
+            F.xxhash64(F.lit(p), F.lit(d)) % 2 == 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[comp(d) for d in range(dims)]),
+                lambda x, s: x.cast("double") * s.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for p in range(bits):
+        out = out + bit(p)
+    return out
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    dims: int = 64,
+    bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: signature equi-join generates candidates, exact
+    quantized cosine re-ranks. Approximate — recall depends on bits; at
+    scale, add multi-probe or repeat with several signature seeds."""
+    sig = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_signature(F.col(vec_col), dims, bits).alias("bucket"),
+    )
+    q = sig.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("bucket"),
+    )
+    c = sig.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("bucket"),
+    )
+    pairs = F.broadcast(q).join(c, "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (
+            quantized_dot(F.col("qvec"), F.col("cvec")).cast("double")
+            / F.sqrt(
+                quantized_norm_sq(F.col("qvec")).cast("double")
+                * quantized_norm_sq(F.col("cvec")).cast("double")
+            )
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ threshold, a<b). Brute-force
+    form; at scale swap candidate generation for the LSH buckets above."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        quantized_norm_sq(F.col(vec_col)).alias("na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        quantized_norm_sq(F.col(vec_col)).alias("nb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (
+            quantized_dot(F.col("va"), F.col("vb")).cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

@@ -1,0 +1,106 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Beyond-reference operators (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — all as
+JVM-side column expressions (no Python in the hot path), so they run
+inside whole-stage codegen over a 100 TB documents table.
+
+Determinism contract: every expression here has an exact SQL twin in
+``plans.datapipe`` oracles; ratios divide exact integer counts as
+doubles at the very end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A tiny embedded English stopword list — enough for an n-gram-free
+# heuristic language scorer; at real scale you'd broadcast a per-language
+# table instead.
+EN_STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "for", "on", "with",
+    "as", "at", "by", "it", "be",
+)
+
+
+def normalized(text: Column) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
+def tokens(text: Column) -> Column:
+    return F.split(normalized(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_count(text: Column) -> Column:
+    """Count of non-alphanumeric, non-space characters via the
+    length-difference trick (portable to any SQL engine)."""
+    return F.length(text) - F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*stopwords)))
+
+
+def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring: char/token counts, mean token length,
+    punctuation ratio, stopword ratio. One projection, no shuffle."""
+    t = F.col(text_col)
+    ntok = token_count(t)
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        ntok.alias("n_tokens"),
+        (F.length(normalized(t)).cast("double") / ntok.cast("double")).alias("avg_token_len"),
+        (punct_count(t).cast("double") / F.length(t).cast("double")).alias("punct_ratio"),
+        (stopword_count(t).cast("double") / ntok.cast("double")).alias("stopword_ratio"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", threshold: float = 0.08) -> DataFrame:
+    """Heuristic language ID: English-stopword density. Predicts 'en'
+    above the threshold, 'unknown' otherwise — the shape of a real
+    n-gram scorer with the model table swapped for a constant list."""
+    t = F.col(text_col)
+    ratio = stopword_count(t).cast("double") / token_count(t).cast("double")
+    return docs.select(
+        "doc_id",
+        ratio.alias("en_score"),
+        F.when(ratio > threshold, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (order-sensitive)
+    and md5 of the sorted token bag (order-insensitive — catches
+    shuffled near-duplicates)."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.md5(F.to_binary(normalized(t), F.lit("utf-8"))).alias("content_hash"),
+        F.md5(
+            F.to_binary(F.array_join(F.array_sort(tokens(t)), " "), F.lit("utf-8"))
+        ).alias("bag_hash"),
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (arrays are 1-indexed in Spark SQL).
+
+    Guarded for short docs: Spark's ``sequence(1, 0)`` throws, so docs
+    with fewer than n tokens yield an empty shingle array."""
+    toks = tokens(text)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k) for k in range(n)]
+    )
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+    )

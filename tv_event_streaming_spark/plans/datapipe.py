@@ -1,0 +1,265 @@
+"""Training-data-pipeline queries: dedup, similarity, text analysis,
+multimodal — over the ``documents`` and ``embeddings`` tables.
+
+SQL-oracle notes:
+- md5 fingerprints match across engines (both hash the utf-8 bytes);
+- cosine similarities quantize components to int64 (floor(x·1e6)) so the
+  dot/norm sums are exact integers — bit-identical doubles on both sides;
+- entries built on xxhash64 (MinHash, SimHash, hyperplane LSH) have no
+  DuckDB twin → rows-only checks; their SEMANTICS are tested in
+  tests/test_dedup.py against injected duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..domain import load_table
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as TX
+from .catalog import register
+
+# SQL twins of text.normalized / text.tokens (DuckDB needs the 'g' flag).
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_SW = "('" + "','".join(TX.EN_STOPWORDS) + "')"
+
+# int64 quantization of a float vector component (see similarity.QUANT)
+_Q = "CAST(FLOOR(CAST({x} AS DOUBLE)*1000000) AS BIGINT)"
+_DOT = (
+    "CAST(list_sum(list_transform(list_zip({a},{b}), "
+    f"p -> {_Q.format(x='p[1]')} * {_Q.format(x='p[2]')})) AS DOUBLE)"
+)
+_NORMSQ = (
+    "CAST(list_sum(list_transform({v}, "
+    f"x -> {_Q.format(x='x')} * {_Q.format(x='x')})) AS DOUBLE)"
+)
+
+
+@register(
+    "dedup_exact",
+    f"""
+SELECT md5({_NORM}) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY content_hash
+""",
+    doc="Exact dedup: hash-groupBy on normalized-content md5; keeper = min id",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+       CAST(length({_NORM}) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) AS avg_token_len,
+       CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       CAST(len(list_filter({_TOKS}, t -> t IN {_SW})) AS DOUBLE)
+         / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio
+FROM documents
+""",
+    doc="Per-document quality scoring: lengths, token stats, punct/stopword ratios",
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.quality_metrics(docs)
+    return out.withColumn("n_chars", F.col("n_chars").cast("long"))
+
+
+@register(
+    "lang_id",
+    f"""
+SELECT doc_id,
+       CAST(len(list_filter({_TOKS}, t -> t IN {_SW})) AS DOUBLE)
+         / CAST(len({_TOKS}) AS DOUBLE) AS en_score,
+       CASE WHEN CAST(len(list_filter({_TOKS}, t -> t IN {_SW})) AS DOUBLE)
+                 / CAST(len({_TOKS}) AS DOUBLE) > 0.08
+            THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM documents
+""",
+    doc="Heuristic language ID by English-stopword density",
+    tags=("text",),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "fingerprints",
+    f"""
+SELECT doc_id,
+       md5({_NORM}) AS content_hash,
+       md5(array_to_string(list_sort({_TOKS}), ' ')) AS bag_hash
+FROM documents
+""",
+    doc="Document fingerprints: content md5 + order-insensitive token-bag md5",
+    tags=("text", "dedup"),
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_topk",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len({_TOKS})-1),
+                   i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])
+  )) AS shingle
+  FROM documents WHERE len({_TOKS}) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+""",
+    doc="N-gram Jaccard near-dup: 3-gram shingles → shingle self-join → "
+    "exact Jaccard, top-20 pairs (the verify stage of MinHash dedup)",
+    tags=("dedup", "join"),
+)
+def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs)
+    return pairs.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(20)
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a='qvec', b='cvec')}
+         / sqrt({_NORMSQ.format(v='qvec')} * {_NORMSQ.format(v='cvec')}) AS cos_sim
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="Brute-force cosine top-5 neighbors for query vectors 0-4 "
+    "(int64-quantized dot products — exact cross-engine)",
+    tags=("similarity",),
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_bruteforce(emb, F.col("vec_id") < 5, k=5)
+
+
+@register(
+    "embedding_neardup_topk",
+    f"""
+WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
+scored AS (
+  SELECT id_a, id_b,
+         {_DOT.format(a='va', b='vb')}
+         / sqrt({_NORMSQ.format(v='va')} * {_NORMSQ.format(v='vb')}) AS cos_sim
+  FROM a JOIN b ON id_a < id_b
+)
+SELECT id_a, id_b, cos_sim FROM scored ORDER BY cos_sim DESC, id_a, id_b LIMIT 20
+""",
+    doc="Embedding-cosine near-dup: top-20 most-similar pairs (threshold "
+    "form in operators.similarity.embedding_near_duplicates)",
+    tags=("similarity", "dedup"),
+)
+def q_embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_duplicates(emb, threshold=-1.0)
+    return pairs.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(20)
+
+
+@register(
+    "multimodal_meta",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_size,
+       md5(text) AS checksum
+FROM documents
+""",
+    doc="Multimodal metadata projection over binary payload columns "
+    "(payload = utf-8 bytes stand-in; schema/plumbing real)",
+    tags=("multimodal",),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.media_metadata(M.attach_binary_payload(docs))
+
+
+# --- rows-only entries (xxhash64 / mapInPandas — no DuckDB twin) ---------
+
+
+@register(
+    "minhash_signatures",
+    None,
+    doc="MinHash signatures (32 seeded xxhash64 mins over 3-gram shingles); "
+    "semantics tested against injected dups in tests/test_dedup.py",
+    tags=("dedup", "rows-only"),
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=32)
+    return sigs.select(
+        "doc_id",
+        F.element_at("signature", 1).alias("h0"),
+        F.element_at("signature", 2).alias("h1"),
+        F.element_at("signature", 32).alias("h31"),
+    )
+
+
+@register(
+    "simhash_signatures",
+    None,
+    doc="64-bit SimHash per document (token-level, xxhash64-derived)",
+    tags=("dedup", "rows-only"),
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_cosine_lsh",
+    None,
+    doc="LSH-bucketed ANN (random-hyperplane signatures, exact re-rank) — "
+    "the scale path for ann_cosine_topk; recall tested in tests/test_similarity.py",
+    tags=("similarity", "rows-only"),
+)
+def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(emb, F.col("vec_id") < 5, k=5, dims=64, bits=8)
+
+
+@register(
+    "multimodal_features",
+    None,
+    doc="Arrow-batched mapInPandas feature extraction over binary payloads "
+    "(decode stubbed; deterministic byte-level fake)",
+    tags=("multimodal", "rows-only"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_binary_payload(docs), fake=True)
