@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "catalog_total", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1}
+
+Each query executes end-to-end into the no-op sink (full computation,
+zero write cost). Timings exclude session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tv_event_streaming_spark.plans import CATALOG  # noqa: E402
+from tv_event_streaming_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship read path, the mutation/index derivations,
+# admin analytics, the analytical anchors, and the data-pipeline ops.
+BENCH_QUERIES = [
+    "titles_for_users",
+    "recommendations",
+    "prefs_delta",
+    "index_build",
+    "distinct_prefs",
+    "top_combinations",
+    "data_quality",
+    "hourly_metrics",
+    "latest_event_per_user",
+    "tail_events",
+    "envelope_roundtrip",
+    "scalar_functions",
+    "pricing_summary",
+    "top_orders",
+    "region_volume",
+    "priority_orders",
+    "dedup_exact",
+    "fingerprints",
+    "text_quality",
+    "lang_id",
+    "ngram_jaccard_topk",
+    "minhash_signatures",
+    "simhash_signatures",
+    "ann_cosine_topk",
+    "embedding_neardup_topk",
+    "multimodal_meta",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="bench")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        entry = CATALOG[name]
+        t0 = time.perf_counter()
+        entry.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import normalized, word_ngrams
+from .text import normalized, staged_tokens, word_ngrams_from
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -42,8 +42,9 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
-    return docs.select(
-        "doc_id", F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+    staged = staged_tokens(docs, text_col)
+    return staged.select(
+        "doc_id", F.explode(word_ngrams_from(F.col("_toks"), n)).alias("shingle")
     )
 
 

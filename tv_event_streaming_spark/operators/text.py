@@ -47,18 +47,37 @@ def stopword_count(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> C
     return F.size(F.filter(tokens(text), lambda t: t.isin(*stopwords)))
 
 
+def staged_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stage normalization and tokenization as bound columns.
+
+    Anything that uses tokens inside a higher-order-function lambda MUST
+    reference a staged attribute: expressions embedded in a lambda are
+    re-evaluated on every lambda call (no codegen, no subexpression
+    elimination inside HOFs), so an unstaged ``element_at(split(...), i)``
+    re-runs the regex+split over the whole document per shingle position.
+    """
+    t = F.col(text_col)
+    return docs.withColumn("_norm", normalized(t)).withColumn(
+        "_toks", F.split(F.col("_norm"), " ")
+    )
+
+
 def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality scoring: char/token counts, mean token length,
     punctuation ratio, stopword ratio. One projection, no shuffle."""
     t = F.col(text_col)
-    ntok = token_count(t)
-    return docs.select(
+    staged = staged_tokens(docs, text_col)
+    ntok = F.size("_toks")
+    return staged.select(
         "doc_id",
         F.length(t).alias("n_chars"),
         ntok.alias("n_tokens"),
-        (F.length(normalized(t)).cast("double") / ntok.cast("double")).alias("avg_token_len"),
+        (F.length("_norm").cast("double") / ntok.cast("double")).alias("avg_token_len"),
         (punct_count(t).cast("double") / F.length(t).cast("double")).alias("punct_ratio"),
-        (stopword_count(t).cast("double") / ntok.cast("double")).alias("stopword_ratio"),
+        (
+            F.size(F.filter("_toks", lambda tok: tok.isin(*EN_STOPWORDS))).cast("double")
+            / ntok.cast("double")
+        ).alias("stopword_ratio"),
     )
 
 
@@ -66,9 +85,12 @@ def language_id(docs: DataFrame, text_col: str = "text", threshold: float = 0.08
     """Heuristic language ID: English-stopword density. Predicts 'en'
     above the threshold, 'unknown' otherwise — the shape of a real
     n-gram scorer with the model table swapped for a constant list."""
-    t = F.col(text_col)
-    ratio = stopword_count(t).cast("double") / token_count(t).cast("double")
-    return docs.select(
+    staged = staged_tokens(docs, text_col)
+    ratio = (
+        F.size(F.filter("_toks", lambda tok: tok.isin(*EN_STOPWORDS))).cast("double")
+        / F.size("_toks").cast("double")
+    )
+    return staged.select(
         "doc_id",
         ratio.alias("en_score"),
         F.when(ratio > threshold, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
@@ -79,22 +101,23 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 of the normalized text (order-sensitive)
     and md5 of the sorted token bag (order-insensitive — catches
     shuffled near-duplicates)."""
-    t = F.col(text_col)
-    return docs.select(
+    staged = staged_tokens(docs, text_col)
+    return staged.select(
         "doc_id",
-        F.md5(F.to_binary(normalized(t), F.lit("utf-8"))).alias("content_hash"),
+        F.md5(F.to_binary(F.col("_norm"), F.lit("utf-8"))).alias("content_hash"),
         F.md5(
-            F.to_binary(F.array_join(F.array_sort(tokens(t)), " "), F.lit("utf-8"))
+            F.to_binary(F.array_join(F.array_sort("_toks"), " "), F.lit("utf-8"))
         ).alias("bag_hash"),
     )
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (arrays are 1-indexed in Spark SQL).
+def word_ngrams_from(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a STAGED token-array column
+    (see :func:`staged_tokens` — never pass a computed expression here;
+    arrays are 1-indexed in Spark SQL).
 
     Guarded for short docs: Spark's ``sequence(1, 0)`` throws, so docs
     with fewer than n tokens yield an empty shingle array."""
-    toks = tokens(text)
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + k) for k in range(n)]
     )

@@ -186,7 +186,7 @@ SELECT id_a, id_b, cos_sim FROM scored ORDER BY cos_sim DESC, id_a, id_b LIMIT 2
 )
 def q_embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.embedding_near_duplicates(emb, threshold=-1.0)
+    pairs = S.allpairs_cosine_blockwise(emb, per_row_k=20)
     return pairs.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(20)
 
 
