@@ -50,6 +50,36 @@ def prefs_delta(old: DataFrame, new: DataFrame) -> DataFrame:
     return adds.unionAll(deletes)
 
 
+def set_user_preferences(
+    prefs_table, user_id: str, sources: list[str], genres: list[str]
+) -> dict[str, int]:
+    """The full PUT /preferences mutation against a KeyedTable
+    (preferences.py:128-175): read current, compute the delta, apply adds
+    as MERGE-inserts and removals as keyed deletes. Returns the counts;
+    ``{adds: 0, deletes: 0}`` is the reference's no-op 204 early-exit
+    (preferences.py:148-150) — no table version is written."""
+    spark = prefs_table.spark
+    rows = [(user_id, "source", s) for s in sources] + [
+        (user_id, "genre", g) for g in genres
+    ]
+    from ..schemas import USER_PREF_SCHEMA  # noqa: PLC0415
+
+    new = spark.createDataFrame(rows, USER_PREF_SCHEMA)
+    old = prefs_table.read().filter(F.col("user_id") == user_id)
+    delta = prefs_delta(old, new).cache()
+    try:
+        adds = delta.filter(F.col("op") == "add").select(*PREF_KEY)
+        dels = delta.filter(F.col("op") == "delete").select(*PREF_KEY)
+        n_add, n_del = adds.count(), dels.count()
+        if n_add:
+            prefs_table.upsert(adds)
+        if n_del:
+            prefs_table.delete(dels)
+        return {"adds": n_add, "deletes": n_del}
+    finally:
+        delta.unpersist()
+
+
 def apply_prefs_delta(old: DataFrame, new: DataFrame) -> DataFrame:
     """The post-merge state: old minus deletes plus adds ≡ new for the
     touched users, old elsewhere. Expressed as a single MERGE-shaped plan
