@@ -72,14 +72,21 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-def _source_count(supplier: DataFrame) -> DataFrame:
-    """1-row DF with the source count — kept lazy (broadcast cross join)
-    instead of a driver-side .count() so the plan stays fully declarative."""
-    return supplier.agg(F.count("*").alias("sn"))
+# Dim cardinalities fold into the derivation arithmetic as literals —
+# the moral equivalent of reading catalog statistics. Resolving them once
+# per (session, sf_dir) keeps every derived plan free of count-subquery
+# cross joins (which otherwise replicate a broadcast exchange per UNION
+# branch); parquet count() is a metadata read.
+_COUNT_CACHE: dict[tuple[int, str], tuple[int, int]] = {}
 
 
-def _genre_count(nation: DataFrame) -> DataFrame:
-    return nation.agg(F.count("*").alias("gn"))
+def _dim_counts(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    key = (id(spark), sf_dir)
+    if key not in _COUNT_CACHE:
+        sn = load_table(spark, sf_dir, "supplier").count()
+        gn = load_table(spark, sf_dir, "nation").count()
+        _COUNT_CACHE[key] = (sn, gn)
+    return _COUNT_CACHE[key]
 
 
 def sources(supplier: DataFrame) -> DataFrame:
@@ -127,7 +134,7 @@ def titles(part: DataFrame) -> DataFrame:
     )
 
 
-def title_index(part: DataFrame, supplier: DataFrame, nation: DataFrame) -> DataFrame:
+def title_index(part: DataFrame, sn: int, gn: int) -> DataFrame:
     """The source×genre inverted index (reference: consumer.py:79-89).
 
     Each title links to 2 sources and 2 genres; the index is the DISTINCT
@@ -137,17 +144,14 @@ def title_index(part: DataFrame, supplier: DataFrame, nation: DataFrame) -> Data
     index's natural key.
     """
     pk = F.col("p_partkey")
-    base = part.crossJoin(F.broadcast(_source_count(supplier))).crossJoin(
-        F.broadcast(_genre_count(nation))
-    )
     # each title carries 2 sources × 2 genres; the index is the full cross
     # product of those arrays, like the reference's nested put-loop
-    s1, s2 = pk % F.col("sn"), (pk * 7 + 3) % F.col("sn")
-    g1, g2 = pk % F.col("gn"), (pk * 11 + 5) % F.col("gn")
+    s1, s2 = pk % sn, (pk * 7 + 3) % sn
+    g1, g2 = pk % gn, (pk * 11 + 5) % gn
     links = None
     for s in (s1, s2):
         for g in (g1, g2):
-            row = base.select(
+            row = part.select(
                 s.cast("string").alias("source_id"),
                 g.cast("string").alias("genre_id"),
                 pk.alias("title_id"),
@@ -156,25 +160,22 @@ def title_index(part: DataFrame, supplier: DataFrame, nation: DataFrame) -> Data
     return links.distinct()
 
 
-def user_prefs(customer: DataFrame, supplier: DataFrame, nation: DataFrame) -> DataFrame:
+def user_prefs(customer: DataFrame, sn: int, gn: int) -> DataFrame:
     """One row per user selection (reference: preferences.py:153-161):
     2 source prefs + 2 genre prefs per customer, DISTINCT because the
     arithmetic can collide (mirrors the reference's set semantics —
     (PK, SK) is the primary key, duplicates are impossible)."""
     ck = F.col("c_custkey")
-    base = customer.crossJoin(F.broadcast(_source_count(supplier))).crossJoin(
-        F.broadcast(_genre_count(nation))
-    )
     uid = ck.cast("string").alias("user_id")
     rows = [
-        base.select(uid, F.lit("source").alias("kind"),
-                    (ck % F.col("sn")).cast("string").alias("pref_id")),
-        base.select(uid, F.lit("source").alias("kind"),
-                    ((ck * 13 + 7) % F.col("sn")).cast("string").alias("pref_id")),
-        base.select(uid, F.lit("genre").alias("kind"),
-                    F.col("c_nationkey").cast("string").alias("pref_id")),
-        base.select(uid, F.lit("genre").alias("kind"),
-                    ((ck * 3 + 1) % F.col("gn")).cast("string").alias("pref_id")),
+        customer.select(uid, F.lit("source").alias("kind"),
+                        (ck % sn).cast("string").alias("pref_id")),
+        customer.select(uid, F.lit("source").alias("kind"),
+                        ((ck * 13 + 7) % sn).cast("string").alias("pref_id")),
+        customer.select(uid, F.lit("genre").alias("kind"),
+                        F.col("c_nationkey").cast("string").alias("pref_id")),
+        customer.select(uid, F.lit("genre").alias("kind"),
+                        ((ck * 3 + 1) % gn).cast("string").alias("pref_id")),
     ]
     out = rows[0]
     for r in rows[1:]:
@@ -196,11 +197,12 @@ def details(part: DataFrame) -> DataFrame:
 def derive_domain(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All derived TV-domain tables plus the raw test tables."""
     t = load_tables(spark, sf_dir)
+    sn, gn = _dim_counts(spark, sf_dir)
     t["sources"] = sources(t["supplier"])
     t["genres"] = genres(t["nation"])
     t["titles"] = titles(t["part"])
-    t["title_index"] = title_index(t["part"], t["supplier"], t["nation"])
-    t["user_prefs"] = user_prefs(t["customer"], t["supplier"], t["nation"])
+    t["title_index"] = title_index(t["part"], sn, gn)
+    t["user_prefs"] = user_prefs(t["customer"], sn, gn)
     t["details"] = details(t["part"])
     return t
 
