@@ -27,6 +27,8 @@ from tv_event_streaming_spark.session import get_spark  # noqa: E402
 BENCH_QUERIES = [
     "titles_for_users",
     "recommendations",
+    "titles_by_ids",
+    "titles_display",
     "prefs_delta",
     "index_build",
     "distinct_prefs",
@@ -47,7 +49,9 @@ BENCH_QUERIES = [
     "lang_id",
     "ngram_jaccard_topk",
     "minhash_signatures",
+    "minhash_neardup",
     "simhash_signatures",
+    "simhash_neardup",
     "ann_cosine_topk",
     "embedding_neardup_topk",
     "multimodal_meta",
@@ -55,10 +59,29 @@ BENCH_QUERIES = [
 ]
 
 
+def warmup(spark) -> None:
+    """Exercise codegen, shuffle, broadcast and the noop sink once so the
+    first timed query doesn't absorb one-time JVM/JIT warm-up. Touches no
+    benchmark table — only synthetic ranges."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(1_000_000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    b = spark.range(97).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    (
+        a.join(F.broadcast(b), "k")
+        .groupBy("k", "tag")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .write.format("noop").mode("overwrite").save()
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="bench")
+    warmup(spark)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

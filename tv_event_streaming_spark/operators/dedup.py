@@ -178,8 +178,14 @@ def minhash_dedup(
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Tier 4a — 64-bit SimHash: per token, xxhash64 contributes ±1 to
     each bit position by its bit value; the signature bit is the sign of
-    the sum. Expressed as explode(tokens) × explode(bits) + one groupBy —
-    all JVM-side; no Python.
+    the sum.
+
+    The ±1 sum per bit equals ``2·(#tokens with bit set) − n_tokens``, so
+    the whole signature folds into ONE groupBy(doc_id) with 64 conditional
+    sums — map-side partial aggregation, a single shuffle of 65 longs per
+    doc, and no 64× row blow-up (the explode(bits) formulation shuffles
+    64·|tokens| rows; at 100 TB that's the difference between a working
+    job and a dead one). All JVM-side; no Python.
     """
     toks = docs.select(
         "doc_id",
@@ -187,27 +193,22 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.split(normalized(F.col(text_col)), " ")
         ).alias("token"),
     ).withColumn("th", F.xxhash64("token"))
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        F.col("th"),
-    ).select(
-        "doc_id",
-        "bit",
-        # shiftright's Python API wants a literal shift — use the SQL form
-        # for a column-valued shift
-        F.when(F.expr("shiftright(th, bit)").bitwiseAND(F.lit(1)) == 1, F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("w"),
+    counts = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(64)
+        ],
     )
-    bitsum = bits.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
-    return bitsum.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{b}") * 2 > F.col("n"),
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return counts.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 8) -> DataFrame:

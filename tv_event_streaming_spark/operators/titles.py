@@ -117,6 +117,46 @@ def arrays_from_index(title_index: DataFrame) -> DataFrame:
     )
 
 
+def titles_by_ids(titles: DataFrame, ids: DataFrame) -> DataFrame:
+    """S5 — point-get batch: fetch canonical title records for an id list
+    (web_api.py:177-192, BatchGetItem chunked by 100). The id list is
+    tiny by construction (one user's result set) → broadcast left-semi
+    join; the titles table never shuffles and absent ids drop out exactly
+    like DynamoDB's UnprocessedKeys-free response. Chunking is obsolete.
+    """
+    key_list = ids.select("title_id").distinct()
+    return titles.join(F.broadcast(key_list), "title_id", "left_semi")
+
+
+def display_names(
+    titles: DataFrame,
+    title_index: DataFrame,
+    sources: DataFrame,
+    genres: DataFrame,
+) -> DataFrame:
+    """J4 — id→name display join (mainView.js:211-212): resolve each
+    title's source/genre id sets to sorted, comma-joined display names.
+    The dims are broadcast (they stay dim-sized at any scale); the two
+    groupBys share the title_id key with the final join, so AQE coalesces
+    them into one shuffle stage each.
+    """
+
+    def names(idx_col: str, dim: DataFrame, out: str) -> DataFrame:
+        return (
+            title_index.join(F.broadcast(dim), idx_col)
+            .groupBy("title_id")
+            .agg(F.array_join(F.sort_array(F.collect_set("name")), ",").alias(out))
+        )
+
+    src = names("source_id", sources, "source_names")
+    gen = names("genre_id", genres, "genre_names")
+    return (
+        titles.select("title_id", "title")
+        .join(src, "title_id")
+        .join(gen, "title_id")
+    )
+
+
 def titles_by_overlap(
     titles_with_arrays: DataFrame,
     user_sources: list[str],

@@ -188,6 +188,59 @@ def q_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TITLE_ID_LIST = (1, 2, 3, 5, 8, 13, 21, 34, 55, 999_999_999)  # last id absent
+
+
+@register(
+    "titles_by_ids",
+    with_domain(
+        f"""
+SELECT title_id, title, year, type, user_rating, poster, plot_overview
+FROM titles WHERE title_id IN ({", ".join(str(i) for i in _TITLE_ID_LIST)})
+"""
+    ),
+    doc="S5 — point-get batch: canonical records for an id list via broadcast "
+    "left-semi join (web_api.py:177-192; absent ids drop out)",
+    tags=("semi-join", "point-get"),
+)
+def q_titles_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_domain(spark, sf_dir)
+    ids = spark.createDataFrame([(i,) for i in _TITLE_ID_LIST], "title_id long")
+    return TI.titles_by_ids(d["titles"], ids).select(
+        "title_id", "title", "year", "type", "user_rating", "poster", "plot_overview"
+    )
+
+
+@register(
+    "titles_display",
+    with_domain(
+        """
+, src_names AS (
+  SELECT ti.title_id,
+         array_to_string(list_sort(list(DISTINCT s.name)), ',') AS source_names
+  FROM title_index ti JOIN sources s ON ti.source_id = s.source_id
+  GROUP BY ti.title_id
+), gen_names AS (
+  SELECT ti.title_id,
+         array_to_string(list_sort(list(DISTINCT g.name)), ',') AS genre_names
+  FROM title_index ti JOIN genres g ON ti.genre_id = g.genre_id
+  GROUP BY ti.title_id
+)
+SELECT t.title_id, t.title, sn2.source_names, gn2.genre_names
+FROM titles t
+JOIN src_names sn2 ON t.title_id = sn2.title_id
+JOIN gen_names gn2 ON t.title_id = gn2.title_id
+"""
+    ),
+    doc="J4 — id→name display join: per-title sorted comma-joined source/genre "
+    "names via broadcast dim joins (mainView.js:211-212; F15 comma-join)",
+    tags=("join", "broadcast", "collect_set"),
+)
+def q_titles_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_domain(spark, sf_dir)
+    return TI.display_names(d["titles"], d["title_index"], d["sources"], d["genres"])
+
+
 # ---------------------------------------------------------------------------
 # Index build (J2) — arrays → double explode → index
 # ---------------------------------------------------------------------------

@@ -242,6 +242,31 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_neardup",
+    None,
+    doc="MinHash+LSH near-dup end-to-end: signatures → banded bucket-join "
+    "candidates → exact-Jaccard verify ≥ 0.5; candidate recall vs exact "
+    "pairs tested in tests/test_dedup.py",
+    tags=("dedup", "rows-only"),
+)
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup(docs, num_hashes=32, bands=8, threshold=0.5)
+
+
+@register(
+    "simhash_neardup",
+    None,
+    doc="SimHash near-dup end-to-end: 64-bit signatures → 16-bit-quarter "
+    "bucket-join candidates → bit_count(xor) ≤ 8 verify",
+    tags=("dedup", "rows-only"),
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(D.simhash_signatures(docs), max_hamming=8)
+
+
+@register(
     "ann_cosine_lsh",
     None,
     doc="LSH-bucketed ANN (random-hyperplane signatures, exact re-rank) — "
