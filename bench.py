@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "simhash_signatures",
     "simhash_neardup",
     "ann_cosine_topk",
+    "ann_cosine_ivf",
     "embedding_neardup_topk",
     "multimodal_meta",
     "multimodal_features",
@@ -75,6 +76,14 @@ def warmup(spark) -> None:
         .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
         .write.format("noop").mode("overwrite").save()
     )
+    # spin up the Arrow/Python worker pool (mapInPandas queries otherwise
+    # pay ~10 s of per-executor daemon startup inside their timing)
+    def _ident(batches):
+        yield from batches
+
+    spark.range(32).repartition(32).mapInPandas(
+        _ident, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:

@@ -1,0 +1,114 @@
+"""Watermarked windowed aggregation (ST5/ST6) and the custom stateful
+operator (ST7, applyInPandasWithState) — driven with availableNow over a
+file stream split into multiple micro-batches, so cross-batch state and
+watermark-close semantics are actually exercised."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tv_event_streaming_spark.domain import load_table
+from tv_event_streaming_spark.streaming.metrics import (
+    start_running_totals,
+    start_windowed_metrics,
+    windowed_metrics,
+)
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, sf_dir, tmp_path_factory):
+    """The events table as a 3-file stream source directory (one file per
+    micro-batch with maxFilesPerTrigger=1)."""
+    d = str(tmp_path_factory.mktemp("events_src"))
+    ev = load_table(spark, sf_dir, "events")
+    # split by event-time thirds so arrival order tracks event time —
+    # a modulo split would put the whole month in every batch and
+    # batches 2-3 would land behind the watermark as late data
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    step = (hi - lo) / 3
+    bounds = [lo + step, lo + 2 * step]
+    parts = [
+        ev.filter(F.col("ts") < F.lit(bounds[0])),
+        ev.filter((F.col("ts") >= F.lit(bounds[0])) & (F.col("ts") < F.lit(bounds[1]))),
+        ev.filter(F.col("ts") >= F.lit(bounds[1])),
+    ]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def _read_stream(spark, src_dir):
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def test_windowed_metrics_append(spark, sf_dir, event_stream_dir, tmp_path):
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_windowed_metrics(_read_stream(spark, event_stream_dir), sink, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    batch = windowed_metrics(load_table(spark, sf_dir, "events"))
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+
+    # every window the watermark closed must be emitted, exactly once,
+    # with values identical to the batch computation
+    expected = {
+        tuple(r)
+        for r in batch.filter(
+            F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+        ).collect()
+    }
+    emitted = [tuple(r) for r in got.collect()]
+    assert len(emitted) == len(set(emitted)), "duplicate window emissions"
+    assert expected <= set(emitted), "watermark-closed windows missing from sink"
+    # and nothing the stream emitted disagrees with the batch values
+    batch_all = {tuple(r) for r in batch.collect()}
+    assert set(emitted) <= batch_all
+
+
+def test_running_totals_cross_batch_state(spark, sf_dir, event_stream_dir, tmp_path):
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_running_totals(_read_stream(spark, event_stream_dir), sink, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    # multiple micro-batches -> at least one user emitted more than once
+    # (state carried across batches produces increasing totals)
+    multi = got.groupBy("user_id").count().filter(F.col("count") > 1)
+    assert multi.count() > 0, "stream ran as a single batch; state never crossed batches"
+
+    # final running total per user == the batch aggregate
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+        )
+    )
+    joined = final.join(batch, "user_id", "full_outer").select(
+        "user_id",
+        final["n_events"].alias("sn"),
+        batch["n_events"].alias("bn"),
+        final["total_value"].alias("sv"),
+        batch["total_value"].alias("bv"),
+    )
+    bad = joined.filter(
+        F.col("sn").isNull()
+        | F.col("bn").isNull()
+        | (F.col("sn") != F.col("bn"))
+        | (F.abs(F.col("sv") - F.col("bv")) > 1e-6)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()

@@ -167,11 +167,32 @@ def minhash_dedup(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, num_hashes, n)
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
-    exact = ngram_jaccard_pairs(docs, text_col, n)
+    # Verify ONLY the candidate pairs — the whole point of LSH is that the
+    # exact-Jaccard cost scales with |candidates|, not |docs|². Shingles
+    # attach to each side of the pair; the shared count is an equi-join on
+    # (other doc, shingle).
+    sh = _shingles(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
     return (
-        cands.join(exact, ["doc_a", "doc_b"])
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 

@@ -166,6 +166,104 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into centroid cells,
+    probe only the ``nprobe`` nearest cells per query, exact-rank inside.
+
+    Centroids are the vectors with id < ``n_centroids`` — a deterministic
+    seed assignment (production would refine with k-means rounds; the
+    cell/probe/re-rank machinery is identical and this keeps the operator
+    oracle-checkable). Cell assignment is a per-row argmax over a literal
+    centroid array — pure map-side, NO shuffle of the corpus; at scale the
+    one-time ``repartition(cell)`` of the assigned corpus IS the IVF
+    index build, and queries touch only nprobe/n_centroids of the data.
+    """
+    cent_rows = sorted(
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r[0])).alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in r[1]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def cent_cos(vec: Column, c: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(vec, c["cvec"], lambda x, y: _q(x) * _q(y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        nc = F.aggregate(
+            F.transform(c["cvec"], lambda x: _q(x) * _q(x)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return dot.cast("double") / F.sqrt(
+            quantized_norm_sq(vec).cast("double") * nc.cast("double")
+        )
+
+    # (cos, -cent_id) structs: array_max = best cell, ties → smallest id
+    scored_cells = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            cent_cos(F.col(vec_col), c).alias("cos"),
+            (-c["cent_id"]).alias("nid"),
+        ),
+    )
+    assign = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        (-F.array_max(scored_cells)["nid"]).alias("cell"),
+        quantized_norm_sq(F.col(vec_col)).alias("cnorm"),
+    )
+    probes = (
+        embeddings.filter(query_filter)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(
+                F.transform(
+                    F.slice(F.reverse(F.array_sort(scored_cells)), 1, nprobe),
+                    lambda s: -s["nid"],
+                )
+            ).alias("cell"),
+        )
+        .withColumn("qnorm", quantized_norm_sq(F.col("qvec")))
+    )
+    cands = F.broadcast(probes).join(assign, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        (
+            quantized_dot(F.col("qvec"), F.col("cvec")).cast("double")
+            / F.sqrt(F.col("qnorm").cast("double") * F.col("cnorm").cast("double"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
+    )
+
+
 def allpairs_cosine_blockwise(
     embeddings: DataFrame,
     per_row_k: int | None = None,

@@ -168,6 +168,51 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_ivf",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+ranked AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_DOT.format(a='e.embedding', b='c.cvec')}
+                    / sqrt({_NORMSQ.format(v='e.embedding')} * {_NORMSQ.format(v='c.cvec')}) DESC,
+                    c.cent_id
+         ) AS rn
+  FROM embeddings e, cents c
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, embedding AS nvec, cent_id AS cell
+  FROM ranked WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qvec, cent_id AS cell
+  FROM ranked WHERE vec_id < 5 AND rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_DOT.format(a='p.qvec', b='a.nvec')}
+         / sqrt({_NORMSQ.format(v='p.qvec')} * {_NORMSQ.format(v='a.nvec')}) AS cos_sim
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="IVF ANN: deterministic seed centroids (id<16), shuffle-free cell "
+    "assignment, top-4 probed cells per query, exact re-rank — the "
+    "oracle-checkable inverted-file scale path",
+    tags=("similarity",),
+)
+def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_ivf(emb, F.col("vec_id") < 5, k=5, n_centroids=16, nprobe=4)
+
+
+@register(
     "embedding_neardup_topk",
     f"""
 WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),

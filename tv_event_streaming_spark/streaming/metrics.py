@@ -1,0 +1,130 @@
+"""Streaming observability — beyond-parity ST5/ST6/ST7.
+
+The reference computes its admin metrics on demand (a trailing-1h
+CloudWatch sum, admin_lambda.py:72-150) and carries an event-time column
+it never uses (``publishTimestamp``, ingestion.py:160; SURVEY.md ST5).
+This module is the continuous form Spark makes natural:
+
+- :func:`windowed_metrics` — watermarked tumbling-window invocation/
+  error/success counts (the A6 aggregation as a stream; late events
+  beyond the watermark are dropped instead of silently miscounted).
+- :func:`running_user_totals` — a custom cross-batch stateful operator
+  via ``applyInPandasWithState``: per-user running event count + value
+  sum, state persisted in the checkpoint across micro-batches (what the
+  reference delegates to idempotent DynamoDB writes, ST3/ST7).
+
+Scale: the windowed agg partial-aggregates map-side per micro-batch and
+its state is bounded by (watermark horizon × #groups); the stateful
+operator's state is one 16-byte tuple per user — both stay executor-local
+with state-store checkpointing, no driver accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+
+def windowed_metrics(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """A6 as a continuous query: per (tumbling window, event_type) —
+    invocations, errors, successes = max(0, n − errors). Works unchanged
+    on a batch DataFrame (no-op watermark) or a stream (append-mode
+    emission once the watermark passes the window end)."""
+    n = F.count("*")
+    errs = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(
+            n.alias("invocations"),
+            errs.alias("errors"),
+            F.greatest(F.lit(0).cast("long"), (n - errs).cast("long")).alias("successes"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "invocations",
+            "errors",
+            "successes",
+        )
+    )
+
+
+def start_windowed_metrics(
+    events_stream: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """Append-mode parquet sink: a window row is written exactly once,
+    when the watermark closes it — the idempotent-materialization twin of
+    the reference's on-demand metric query."""
+    out = windowed_metrics(events_stream, window_duration, watermark)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_TOTALS_OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_TOTALS_STATE_SCHEMA = "n bigint, total double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (event count, value sum)
+    across ALL micro-batches, via ``applyInPandasWithState``.
+
+    Emits one row per user per micro-batch that saw that user (update
+    semantics). The state tuple survives in the checkpointed state store,
+    so totals keep accumulating across restarts — deliberately unlike the
+    per-batch A7 counts. The update closure is self-contained
+    (stdlib + pandas only) so cloudpickle ships it by value.
+    """
+
+    def update(key, pdfs, state):
+        import pandas as pd  # local import: keep the closure self-contained
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [float(total)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TOTALS_OUT_SCHEMA,
+        stateStructType=_TOTALS_STATE_SCHEMA,
+        outputMode="append",  # emitted rows are final; required by file sinks
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_running_totals(
+    events_stream: DataFrame, sink_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Update-mode totals into a parquet append log; the latest row per
+    user is the current total (readers take max(n_events) per user)."""
+    out = running_user_totals(events_stream)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
