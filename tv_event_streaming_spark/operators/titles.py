@@ -136,25 +136,24 @@ def display_names(
 ) -> DataFrame:
     """J4 — id→name display join (mainView.js:211-212): resolve each
     title's source/genre id sets to sorted, comma-joined display names.
-    The dims are broadcast (they stay dim-sized at any scale); the two
-    groupBys share the title_id key with the final join, so AQE coalesces
-    them into one shuffle stage each.
+
+    Both dims broadcast onto the index in one pass (they stay dim-sized
+    at any scale), then ONE groupBy(title_id) collects both name sets —
+    collect_set dedupes the cross-product repetition, so this is exactly
+    the two-aggregation form at half the shuffle cost.
     """
-
-    def names(idx_col: str, dim: DataFrame, out: str) -> DataFrame:
-        return (
-            title_index.join(F.broadcast(dim), idx_col)
-            .groupBy("title_id")
-            .agg(F.array_join(F.sort_array(F.collect_set("name")), ",").alias(out))
-        )
-
-    src = names("source_id", sources, "source_names")
-    gen = names("genre_id", genres, "genre_names")
-    return (
-        titles.select("title_id", "title")
-        .join(src, "title_id")
-        .join(gen, "title_id")
+    joined = title_index.join(
+        F.broadcast(sources.select("source_id", F.col("name").alias("_sname"))),
+        "source_id",
+    ).join(
+        F.broadcast(genres.select("genre_id", F.col("name").alias("_gname"))),
+        "genre_id",
     )
+    agg = joined.groupBy("title_id").agg(
+        F.array_join(F.sort_array(F.collect_set("_sname")), ",").alias("source_names"),
+        F.array_join(F.sort_array(F.collect_set("_gname")), ",").alias("genre_names"),
+    )
+    return titles.select("title_id", "title").join(agg, "title_id")
 
 
 def titles_by_overlap(
