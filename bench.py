@@ -43,8 +43,11 @@ BENCH_QUERIES = [
     "top_orders",
     "region_volume",
     "priority_orders",
+    "forecast_revenue",
+    "promo_share",
     "dedup_exact",
     "fingerprints",
+    "token_counts",
     "text_quality",
     "lang_id",
     "ngram_jaccard_topk",

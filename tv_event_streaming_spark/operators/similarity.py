@@ -186,64 +186,79 @@ def cosine_topk_ivf(
     one-time ``repartition(cell)`` of the assigned corpus IS the IVF
     index build, and queries touch only nprobe/n_centroids of the data.
     """
+    import math  # noqa: PLC0415
+
     cent_rows = sorted(
         embeddings.filter(F.col(id_col) < n_centroids)
         .select(id_col, vec_col)
         .collect(),
         key=lambda r: r[0],
     )
+    # centroid components quantize driver-side (exact, same floor(x·1e6)
+    # the column path uses) so per-row work is ONE staged quantization of
+    # the row vector + 16 integer dots — not 16 re-quantizations of
+    # constant centroid arrays and their norms
+    cents = [
+        (int(r[0]), [int(math.floor(float(x) * QUANT)) for x in r[1]])
+        for r in cent_rows
+    ]
     cent_arr = F.array(
         *[
             F.struct(
-                F.lit(int(r[0])).alias("cent_id"),
-                F.array(*[F.lit(float(x)) for x in r[1]]).alias("cvec"),
+                F.lit(cid).alias("cent_id"),
+                F.array(*[F.lit(q) for q in qc]).alias("qcvec"),
+                F.lit(sum(q * q for q in qc)).alias("cnormsq"),
             )
-            for r in cent_rows
+            for cid, qc in cents
         ]
     )
 
-    def cent_cos(vec: Column, c: Column) -> Column:
+    def cent_cos(qv: Column, nv: Column, c: Column) -> Column:
         dot = F.aggregate(
-            F.zip_with(vec, c["cvec"], lambda x, y: _q(x) * _q(y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        nc = F.aggregate(
-            F.transform(c["cvec"], lambda x: _q(x) * _q(x)),
+            F.zip_with(qv, c["qcvec"], lambda x, y: x * y),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
         return dot.cast("double") / F.sqrt(
-            quantized_norm_sq(vec).cast("double") * nc.cast("double")
+            nv.cast("double") * c["cnormsq"].cast("double")
         )
 
+    staged = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(F.col(vec_col), _q).alias("_qv"),
+    ).withColumn(
+        "_nv",
+        F.aggregate(
+            F.transform(F.col("_qv"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
     # (cos, -cent_id) structs: array_max = best cell, ties → smallest id
     scored_cells = F.transform(
         cent_arr,
         lambda c: F.struct(
-            cent_cos(F.col(vec_col), c).alias("cos"),
+            cent_cos(F.col("_qv"), F.col("_nv"), c).alias("cos"),
             (-c["cent_id"]).alias("nid"),
         ),
     )
-    assign = embeddings.select(
+    assign = staged.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         (-F.array_max(scored_cells)["nid"]).alias("cell"),
-        quantized_norm_sq(F.col(vec_col)).alias("cnorm"),
+        F.col("_nv").alias("cnorm"),
     )
-    probes = (
-        embeddings.filter(query_filter)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            F.explode(
-                F.transform(
-                    F.slice(F.reverse(F.array_sort(scored_cells)), 1, nprobe),
-                    lambda s: -s["nid"],
-                )
-            ).alias("cell"),
-        )
-        .withColumn("qnorm", quantized_norm_sq(F.col("qvec")))
+    probes = staged.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(scored_cells)), 1, nprobe),
+                lambda s: -s["nid"],
+            )
+        ).alias("cell"),
+        F.col("_nv").alias("qnorm"),
     )
     cands = F.broadcast(probes).join(assign, "cell").filter(
         F.col("query_id") != F.col("neighbor_id")

@@ -37,6 +37,17 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: alpha runs, digit runs, and each
+    punctuation mark count separately (the pre-merge segmentation every
+    BPE tokenizer starts from). Pure-ASCII regex ⇒ identical semantics in
+    Java regex and RE2-based engines, so the DuckDB oracle matches."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def punct_count(text: Column) -> Column:
     """Count of non-alphanumeric, non-space characters via the
     length-difference trick (portable to any SQL engine)."""

@@ -95,6 +95,35 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_counts",
+    f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) AS DOUBLE)
+         / CAST(len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')) AS DOUBLE)
+         AS chars_per_token
+FROM documents
+""",
+    doc="Token counting: whitespace tokens + BPE-ish regex segmentation "
+    "(alpha runs | digit runs | single punctuation) + chars-per-token",
+    tags=("text",),
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    bpe = TX.bpe_ish_token_count(t)
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        (F.length(t).cast("double") / bpe.cast("double")).alias("chars_per_token"),
+    )
+
+
+@register(
     "fingerprints",
     f"""
 SELECT doc_id,

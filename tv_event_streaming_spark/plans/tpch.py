@@ -148,6 +148,70 @@ def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "forecast_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 shape — pure scan-aggregate where EVERY predicate pushes "
+    "to the parquet scan; the no-join throughput ceiling of the engine.",
+    tags=("agg", "bench"),
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "promo_share",
+    """
+SELECT CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+       * 100.0 AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-09-01'
+""",
+    doc="TPC-H Q14 shape — fact⋈dim with conditional numerator/denominator; "
+    "part broadcasts, the ratio divides two exact decimal sums once.",
+    tags=("join", "agg", "bench"),
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-09-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", disc)
+                .otherwise(F.lit(0))
+                .cast("decimal(18,6)")
+            ).cast("double")
+            / F.sum(disc.cast("decimal(18,6)")).cast("double")
+            * 100.0
+        ).alias("promo_pct")
+    )
+
+
+@register(
     "priority_orders",
     """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
