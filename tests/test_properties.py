@@ -1,0 +1,115 @@
+"""Property-based invariants (hypothesis) — beyond the reference's
+golden-test-only strategy (SURVEY.md §5).
+
+Each example runs ONE Spark job over a generated batch (not a job per
+row), keeping runtime sane while still searching the input space:
+unicode titles through the base64/JSON codec, arbitrary pref-set pairs
+through the delta algebra, adversarial ASCII through the tokenizer twins.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tv_event_streaming_spark.operators.preferences import apply_prefs_delta, prefs_delta
+from tv_event_streaming_spark.operators.text import BPE_ISH_PATTERN, bpe_ish_token_count
+from tv_event_streaming_spark.schemas import USER_PREF_SCHEMA
+from tv_event_streaming_spark.sources.events import (
+    PAYLOAD_COLS,
+    decode_envelope,
+    encode_envelope,
+)
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# JSON-safe text: no surrogates; NUL breaks nothing but keep it printable-ish
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2**40), _text, st.integers(1900, 2100)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_envelope_codec_roundtrip(spark, rows):
+    """decode ∘ encode = identity on (id, title, year) for arbitrary
+    unicode titles — the reference's wire format never corrupts data."""
+    ts = datetime.datetime(2025, 7, 4, 16, 2, 51)
+    df = spark.createDataFrame(
+        [(i, t, y, None, None, None, None, None, None, ts) for i, t, y in rows],
+        schema="id long, title string, year int, imdb_id string, tmdb_id long, "
+        "tmdb_type string, type string, source_ids array<string>, "
+        "genre_ids array<string>, publish_ts timestamp",
+    )
+    wire = encode_envelope(df, PAYLOAD_COLS, "publish_ts")
+    back = decode_envelope(wire).select("id", "title", "year").collect()
+    assert sorted((r.id, r.title, r.year) for r in back) == sorted(rows)
+
+
+_pref = st.tuples(
+    st.sampled_from(["u1", "u2"]),
+    st.sampled_from(["source", "genre"]),
+    st.integers(0, 9).map(str),
+)
+
+
+@settings(**SETTINGS)
+@given(
+    old=st.lists(_pref, max_size=15, unique=True),
+    new=st.lists(_pref, max_size=15, unique=True),
+)
+def test_prefs_delta_algebra(spark, old, new):
+    """adds = new−old, deletes = old−new, disjoint; and applying the
+    delta reproduces `new` exactly for every touched user (the PUT
+    round-trip the reference's UI tests assert, preferences.spec.ts)."""
+    old_df = spark.createDataFrame(old, USER_PREF_SCHEMA) if old else spark.createDataFrame([], USER_PREF_SCHEMA)
+    new_df = spark.createDataFrame(new, USER_PREF_SCHEMA) if new else spark.createDataFrame([], USER_PREF_SCHEMA)
+    delta = {(r.op, r.user_id, r.kind, r.pref_id) for r in prefs_delta(old_df, new_df).collect()}
+    adds = {t[1:] for t in delta if t[0] == "add"}
+    dels = {t[1:] for t in delta if t[0] == "delete"}
+    assert adds == set(new) - set(old)
+    assert dels == set(old) - set(new)
+    assert not (adds & dels)
+
+    merged = {tuple(r) for r in apply_prefs_delta(old_df, new_df).collect()}
+    touched = {u for u, _, _ in new}
+    expected = set(new) | {t for t in old if t[0] not in touched}
+    assert merged == expected
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("abZ9 .,!\t\n-_()"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bpe_token_count_matches_python_re(spark, texts):
+    """Spark's regexp_extract_all and Python's re agree on the BPE-ish
+    segmentation for adversarial ASCII — the cross-engine determinism the
+    token_counts oracle depends on."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r.i: r.n
+        for r in df.select("i", bpe_ish_token_count(F.col("text")).alias("n")).collect()
+    }
+    want = {i: len(re.findall(BPE_ISH_PATTERN, t)) for i, t in enumerate(texts)}
+    assert got == want
