@@ -59,12 +59,23 @@ _NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
+# Memoized lazy plans per (session, table): spark.read.parquet lists files
+# and reads footers eagerly on every call — catalog-cache behavior a real
+# metastore gives for free.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLUMNS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -1,0 +1,75 @@
+"""Physical-layout operators: skew salting and co-located bucketing.
+
+The reference never needs these (its biggest aggregation is a 20-way
+count), but at 100 TB they are the difference between a plan that
+finishes and one that sits on a straggler:
+
+- **Salting** — a hot grouping key sends its entire weight to one
+  reducer. Two-phase aggregation over (key, salt) spreads the hot key
+  across ``n_salts`` reducers, then the tiny second phase recombines.
+  AQE's skew-join splitting covers *joins*; salting covers *aggregations*
+  whose skew AQE cannot split (one group = one reducer by definition).
+- **Bucketing** — pre-shuffling a table into N buckets on its join key at
+  WRITE time makes every later equi-join/aggregation on that key
+  shuffle-free (Spark reads co-bucketed sides without an Exchange).
+  This is the "one shuffle, reused forever" trade every serving workload
+  at scale should take; tests/test_layout.py asserts the Exchange-free
+  plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output name → a SUM-decomposable aggregate over input
+    columns (count/sum family — the partial results re-sum exactly).
+    Phase 1 groups on (keys, salt) where salt = crc32(whole-row key
+    spread) % n_salts; phase 2 re-sums per key. Counts stay exact:
+    sum-of-partial-counts ≡ count.
+    """
+    salted = df.withColumn("_salt", F.spark_partition_id() % n_salts)
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[c.alias(f"_p_{name}") for name, c in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[F.sum(f"_p_{name}").alias(name) for name in aggs]
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str,
+) -> None:
+    """Materialize ``df`` as a bucketed (and bucket-sorted) table.
+
+    Joins/aggregations between tables bucketed identically on the join
+    key read WITHOUT an Exchange — the one-time write shuffle replaces
+    every future one."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str]
+) -> DataFrame:
+    """Equi-join two co-bucketed tables; with matching bucketing the plan
+    contains SortMergeJoin with NO Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), on)

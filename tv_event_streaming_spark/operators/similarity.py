@@ -87,29 +87,35 @@ def cosine_topk_bruteforce(
     )
 
 
+def plane_sign(p: int, d: int) -> int:
+    """±1 component of hyperplane p at dimension d — a fixed integer
+    mixing formula evaluated at PLAN BUILD time (python ints), so the
+    identical pattern can be embedded in the DuckDB-oracle SQL. No
+    driver-side randomness ships to executors; no per-row hashing."""
+    return 1 if ((p * 2654435761 + d * 40503 + 12345) >> 7) % 2 == 0 else -1
+
+
 def hyperplane_signature(
     vec: Column, dims: int, bits: int = 16
 ) -> Column:
     """Random-hyperplane LSH signature as an integer bucket id.
 
-    Hyperplane p's component d is ±1 derived from xxhash64(p, d) — fully
-    deterministic, no driver-side randomness to ship to executors. The
-    signature bit is sign(Σ_d vec[d]·plane[p][d]).
-    """
+    The signature bit is sign(Σ_d q(vec[d])·plane[p][d]) over the
+    int64-quantized components — exact integer sums, so the sign decision
+    (and therefore the bucket) is bit-identical in any engine and any
+    summation order."""
+    qv = F.transform(vec, _q)
+
     def bit(p: int) -> Column:
-        comp = lambda d: F.when(  # noqa: E731
-            F.xxhash64(F.lit(p), F.lit(d)) % 2 == 0, F.lit(1)
-        ).otherwise(F.lit(-1))
+        signs = F.array(*[F.lit(plane_sign(p, d)).cast("long") for d in range(dims)])
         dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[comp(d) for d in range(dims)]),
-                lambda x, s: x.cast("double") * s.cast("double"),
-            ),
-            F.lit(0.0),
+            F.zip_with(qv, signs, lambda x, s: x * s),
+            F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
-        return F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        return F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
 
     out = F.lit(0).cast("long")
     for p in range(bits):

@@ -340,12 +340,46 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(D.simhash_signatures(docs), max_hamming=8)
 
 
+def _lsh_bucket_sql(dims: int = 64, bits: int = 8, vec: str = "embedding") -> str:
+    """The hyperplane-signature bucket as SQL, from the SAME ±1 pattern
+    the Spark plan embeds (similarity.plane_sign) — quantized integer
+    dots, so the sign decisions match bit-for-bit."""
+    terms = []
+    for p in range(bits):
+        plus = [d + 1 for d in range(dims) if S.plane_sign(p, d) == 1]
+        minus = [d + 1 for d in range(dims) if S.plane_sign(p, d) == -1]
+        q = _Q.format(x=f"{vec}[i]")
+        dot = (
+            f"(COALESCE(list_sum(list_transform({plus}, i -> {q})), 0)"
+            f" - COALESCE(list_sum(list_transform({minus}, i -> {q})), 0))"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
 @register(
     "ann_cosine_lsh",
-    None,
-    doc="LSH-bucketed ANN (random-hyperplane signatures, exact re-rank) — "
-    "the scale path for ann_cosine_topk; recall tested in tests/test_similarity.py",
-    tags=("similarity", "rows-only"),
+    f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM sig WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec, bucket FROM sig),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a='qvec', b='cvec')}
+         / sqrt({_NORMSQ.format(v='qvec')} * {_NORMSQ.format(v='cvec')}) AS cos_sim
+  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="LSH-bucketed ANN (hyperplane signatures from a fixed ±1 pattern, "
+    "quantized-exact sign decisions, exact re-rank) — the scale path for "
+    "ann_cosine_topk; recall tested in tests/test_similarity.py",
+    tags=("similarity",),
 )
 def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
