@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "recommendations",
     "titles_by_ids",
     "titles_display",
+    "titles_by_overlap",
+    "prefs_response",
     "prefs_delta",
     "index_build",
     "distinct_prefs",

@@ -94,6 +94,65 @@ def q_get_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.get_preferences(d["user_prefs"], F.col("user_id").cast("long") <= 5)
 
 
+@register(
+    "prefs_response",
+    with_domain(
+        """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT pref_id) FILTER (WHERE kind='source')), ',') AS sources_csv,
+       array_to_string(list_sort(list(DISTINCT pref_id) FILTER (WHERE kind='genre')), ',') AS genres_csv
+FROM user_prefs
+WHERE CAST(user_id AS BIGINT) <= 50
+GROUP BY user_id
+"""
+    ),
+    doc="S4/SO1 — the GET /preferences response shape: sorted id arrays per "
+    "kind, one row per user (web_api.py:86-96; CSV form for cross-engine "
+    "hash stability)",
+    tags=("groupby", "collect_set"),
+)
+def q_prefs_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_domain(spark, sf_dir)
+    prefs = d["user_prefs"].filter(F.col("user_id").cast("long") <= 50)
+    return P.preferences_response(prefs).select(
+        "user_id",
+        F.array_join("sources", ",").alias("sources_csv"),
+        F.array_join("genres", ",").alias("genres_csv"),
+    )
+
+
+_OVERLAP_SOURCES = ("1", "7", "13")
+_OVERLAP_GENRES = ("2", "5")
+
+
+@register(
+    "titles_by_overlap",
+    with_domain(
+        f"""
+SELECT t.title_id, t.title, t.year, t.type
+FROM titles t
+WHERE EXISTS (SELECT 1 FROM title_index ti
+              WHERE ti.title_id = t.title_id
+                AND ti.source_id IN ({", ".join(repr(s) for s in _OVERLAP_SOURCES)}))
+  AND EXISTS (SELECT 1 FROM title_index ti
+              WHERE ti.title_id = t.title_id
+                AND ti.genre_id IN ({", ".join(repr(g) for g in _OVERLAP_GENRES)}))
+"""
+    ),
+    doc="J1 alternative form — arrays_overlap on the payload arrays instead "
+    "of the materialized index (SURVEY.md J1: semantically identical because "
+    "the index derives from those arrays); single scan, no join",
+    tags=("filter", "arrays"),
+)
+def q_titles_by_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_domain(spark, sf_dir)
+    arrays = TI.arrays_from_index(d["title_index"])
+    with_arrays = d["titles"].join(arrays, "title_id")
+    return TI.titles_by_overlap(
+        with_arrays, list(_OVERLAP_SOURCES), list(_OVERLAP_GENRES)
+    ).select("title_id", "title", "year", "type")
+
+
 _NEW_PREFS = [
     ("1", "source", "1"),
     ("1", "source", "2"),
