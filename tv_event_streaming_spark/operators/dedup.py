@@ -48,6 +48,15 @@ def _shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     )
 
 
+def _hashed_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Shingles keyed by xxhash64 — pair-join and count plumbing shuffles
+    8-byte longs instead of ~n-word strings (the standard trick; a
+    collision needs ~2^32 distinct shingles per pair to matter)."""
+    return _shingles(docs, text_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -62,20 +71,20 @@ def ngram_jaccard_pairs(
     candidate generation only for pairs whose every shared shingle is
     hot; document the tradeoff when enabling it).
     """
-    sh = _shingles(docs, text_col, n)
+    sh = _hashed_shingles(docs, text_col, n)
     if max_doc_freq is not None:
         hot = (
-            sh.groupBy("shingle")
+            sh.groupBy("sh")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
+            .select("sh")
         )
-        sh = sh.join(hot, "shingle", "left_anti")
+        sh = sh.join(hot, "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
     )
@@ -170,14 +179,14 @@ def minhash_dedup(
     # Verify ONLY the candidate pairs — the whole point of LSH is that the
     # exact-Jaccard cost scales with |candidates|, not |docs|². Shingles
     # attach to each side of the pair; the shared count is an equi-join on
-    # (other doc, shingle).
-    sh = _shingles(docs, text_col, n)
+    # (other doc, shingle-hash).
+    sh = _hashed_shingles(docs, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     shared = (
         cands.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        .join(sb, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )

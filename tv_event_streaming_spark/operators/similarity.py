@@ -200,34 +200,20 @@ def cosine_topk_ivf(
         .collect(),
         key=lambda r: r[0],
     )
-    # centroid components quantize driver-side (exact, same floor(x·1e6)
-    # the column path uses) so per-row work is ONE staged quantization of
-    # the row vector + 16 integer dots — not 16 re-quantizations of
-    # constant centroid arrays and their norms
-    cents = [
-        (int(r[0]), [int(math.floor(float(x) * QUANT)) for x in r[1]])
-        for r in cent_rows
-    ]
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cent_id"),
-                F.array(*[F.lit(q) for q in qc]).alias("qcvec"),
-                F.lit(sum(q * q for q in qc)).alias("cnormsq"),
-            )
-            for cid, qc in cents
-        ]
+    # centroids travel as a broadcast DataFrame (data), NOT as literal
+    # arrays in the plan — a 16×64-literal expression tree costs seconds
+    # of analyzer time on every fresh plan. Components quantize
+    # driver-side with the same floor(x·1e6) the column path uses, norms
+    # precomputed exactly.
+    spark = embeddings.sparkSession
+    cents_df = spark.createDataFrame(
+        [
+            (int(r[0]), qc, sum(q * q for q in qc))
+            for r in cent_rows
+            for qc in [[int(math.floor(float(x) * QUANT)) for x in r[1]]]
+        ],
+        "cent_id long, qcvec array<bigint>, cnormsq bigint",
     )
-
-    def cent_cos(qv: Column, nv: Column, c: Column) -> Column:
-        dot = F.aggregate(
-            F.zip_with(qv, c["qcvec"], lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        return dot.cast("double") / F.sqrt(
-            nv.cast("double") * c["cnormsq"].cast("double")
-        )
 
     staged = embeddings.select(
         F.col(id_col),
@@ -241,29 +227,34 @@ def cosine_topk_ivf(
             lambda acc, v: acc + v,
         ),
     )
-    # (cos, -cent_id) structs: array_max = best cell, ties → smallest id
-    scored_cells = F.transform(
-        cent_arr,
-        lambda c: F.struct(
-            cent_cos(F.col("_qv"), F.col("_nv"), c).alias("cos"),
-            (-c["cent_id"]).alias("nid"),
-        ),
+    ccos = (
+        F.aggregate(
+            F.zip_with(F.col("_qv"), F.col("qcvec"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.sqrt(F.col("_nv").cast("double") * F.col("cnormsq").cast("double"))
     )
-    assign = staged.select(
+    ranked = (
+        staged.crossJoin(F.broadcast(cents_df))
+        .select(id_col, vec_col, "_nv", "cent_id", ccos.alias("_ccos"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("_ccos"), "cent_id")
+            ),
+        )
+    )
+    assign = ranked.filter(F.col("_rn") == 1).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        (-F.array_max(scored_cells)["nid"]).alias("cell"),
+        F.col("cent_id").alias("cell"),
         F.col("_nv").alias("cnorm"),
     )
-    probes = staged.filter(query_filter).select(
+    probes = ranked.filter(query_filter & (F.col("_rn") <= nprobe)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.explode(
-            F.transform(
-                F.slice(F.reverse(F.array_sort(scored_cells)), 1, nprobe),
-                lambda s: -s["nid"],
-            )
-        ).alias("cell"),
+        F.col("cent_id").alias("cell"),
         F.col("_nv").alias("qnorm"),
     )
     cands = F.broadcast(probes).join(assign, "cell").filter(
