@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "data_quality",
     "hourly_metrics",
     "latest_event_per_user",
+    "user_sessions",
     "tail_events",
     "envelope_roundtrip",
     "scalar_functions",

@@ -99,6 +99,38 @@ def latest_event_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization — the classic event-analytics window the
+    reference never needed but any TV-events product grows into: a new
+    session starts when a user is idle longer than ``gap_minutes``.
+
+    Batch form of Spark's streaming ``session_window``: lag() detects
+    gaps, a running sum numbers sessions, one groupBy summarizes. Two
+    window passes + one aggregation, all partitioned on user_id — a
+    single shuffle of the events table at any scale. Ties broken on
+    event_id so session numbering is deterministic cross-engine."""
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    # exact integer microseconds — second-truncating casts disagree with
+    # other engines on gaps that straddle the boundary fractionally
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    new_sess = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = events.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 def tail_events(events: DataFrame, k: int = 20) -> DataFrame:
     """W2 — tail-k: the last k events (admin_lambda.py:179-185,
     startFromHead=False + limit). Deterministic tie-break on event_id;

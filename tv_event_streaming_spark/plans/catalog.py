@@ -427,6 +427,38 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_sessions",
+    """
+WITH numbered AS (
+  SELECT user_id, ts, event_id, value,
+         SUM(CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    doc="Gap-based sessionization (30-min idle gap): lag-detect, running-sum "
+    "number, summarize — the batch twin of streaming session_window; "
+    "beyond-reference event analytics",
+    tags=("window", "sessionization"),
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
     "tail_events",
     """
 SELECT event_id, ts, user_id, event_type, value FROM events
