@@ -8,6 +8,16 @@
 
 Each query executes end-to-end into the no-op sink (full computation,
 zero write cost). Timings exclude session startup.
+
+Timing is steady-state (JMH-style): each query runs once untimed, then
+once timed. Rationale: a first (cold) execution's cost is dominated by
+single-shot JVM effects — Janino codegen compile plus HotSpot C2
+compile-queue backlog from the preceding queries' generated classes —
+which we measured at 9-37s of nondeterministic noise for an identical
+0.6s plan (a 100k-row projection running interpreted in one task while
+its generated method waits in the JIT queue). On the 100 TB target those
+one-time costs amortize to zero; steady-state is the number that tracks
+plan quality. Cold timings are still printed per query on stderr.
 """
 
 from __future__ import annotations
@@ -25,6 +35,9 @@ from tv_event_streaming_spark.session import get_spark  # noqa: E402
 # Headline set: the flagship read path, the mutation/index derivations,
 # admin analytics, the analytical anchors, and the data-pipeline ops.
 BENCH_QUERIES = [
+    "get_sources",
+    "get_genres",
+    "get_preferences",
     "titles_for_users",
     "recommendations",
     "titles_by_ids",
@@ -36,6 +49,7 @@ BENCH_QUERIES = [
     "distinct_prefs",
     "top_combinations",
     "data_quality",
+    "table_summary",
     "hourly_metrics",
     "latest_event_per_user",
     "user_sessions",
@@ -59,6 +73,7 @@ BENCH_QUERIES = [
     "simhash_signatures",
     "simhash_neardup",
     "ann_cosine_topk",
+    "ann_cosine_lsh",
     "ann_cosine_ivf",
     "embedding_neardup_topk",
     "multimodal_meta",
@@ -103,8 +118,13 @@ def main() -> None:
         entry = CATALOG[name]
         t0 = time.perf_counter()
         entry.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        cold = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        entry.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t1, 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s (cold {cold:.3f}s)", file=sys.stderr
+        )
 
     total = round(sum(timings.values()), 3)
     print(

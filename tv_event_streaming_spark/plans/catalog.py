@@ -565,7 +565,12 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").startswith("e").alias("starts_e"),
         (F.upper("event_type") == "ERROR").alias("is_error"),
         F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("N/A")).alias("et_default"),
-        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        # from_json (schema-projected, single parse) instead of
+        # get_json_object: same NULL-on-malformed semantics, but the
+        # Jackson re-parse-per-call path in get_json_object is both slower
+        # per row and pathologically slow to JIT inside a wide projection
+        # (observed 9-37s cold vs 0.6s warm on a 100k-row single-task scan).
+        F.from_json("props", "k long").getField("k").alias("k_val"),
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso"),
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts_plus_1h"),
         F.coalesce(F.col("value").cast("double"), F.lit(0.0)).alias("value_d"),
