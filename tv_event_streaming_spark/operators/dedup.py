@@ -20,10 +20,23 @@ the pairwise paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import normalized, staged_tokens, word_ngrams_from
+
+
+def portable_hash64(col: Column, seed: int | None = None) -> Column:
+    """Engine-portable 64-bit hash: first 15 hex chars of md5 → int64
+    (60 bits, always positive). DuckDB twin:
+    ``CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT)`` — verified
+    bit-identical. Slower than xxhash64; use where cross-engine
+    determinism matters (oracle-checked catalog entries), keep xxhash64
+    as the scale default."""
+    inp = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(
+        F.substring(F.md5(F.to_binary(inp, F.lit("utf-8"))), 1, 15), 16, 10
+    ).cast("bigint")
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -66,11 +79,13 @@ def ngram_jaccard_pairs(
     """Tier 2 — exact pairwise Jaccard over distinct word n-grams.
 
     ``max_doc_freq`` drops shingles appearing in more than that many
-    documents before the self-join — the standard guard against hot
-    shingles exploding the candidate-pair count at scale (changes
-    candidate generation only for pairs whose every shared shingle is
-    hot; document the tradeoff when enabling it).
-    """
+    documents from the whole computation — sizes, candidate join, and
+    shared counts all treat hot shingles as nonexistent. This is the
+    standard guard against hot shingles exploding the candidate-pair
+    count at scale; note it changes the REPORTED Jaccard values (they
+    become Jaccard over the non-hot shingle universe), not just
+    candidate generation — boilerplate shared by most of a corpus stops
+    counting as similarity, which is usually the behavior you want."""
     sh = _hashed_shingles(docs, text_col, n)
     if max_doc_freq is not None:
         hot = (
@@ -105,19 +120,27 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", num_hashes: int = 32, n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Tier 3a — k-permutation MinHash signature per document.
 
-    Each of the k hash functions is xxhash64 seeded with the function
-    index; the signature element is the min over the doc's shingles.
-    Shuffles once (groupBy doc_id) regardless of k.
+    Each of the k hash functions is seeded xxhash64 (default; the scale
+    path) or the md5-slice :func:`portable_hash64` (``portable=True``;
+    bit-identical in DuckDB, used by the oracle-checked catalog entry);
+    the signature element is the min over the doc's shingles. Shuffles
+    once (groupBy doc_id) regardless of k.
     """
     sh = _shingles(docs, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    hash_i = (
+        (lambda i: portable_hash64(F.col("shingle"), seed=i))
+        if portable
+        else (lambda i: F.xxhash64(F.lit(i), F.col("shingle")))
+    )
+    mins = [F.min(hash_i(i)).alias(f"h{i}") for i in range(num_hashes)]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
@@ -127,9 +150,12 @@ def minhash_signatures(
 def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """Tier 3b — LSH banding: hash each band of the signature to a bucket;
-    docs sharing any (band, bucket) are candidate pairs. Probability a
-    pair with Jaccard s collides: 1-(1-s^r)^b."""
+    """Tier 3b — LSH banding: each band's signature slice IS the bucket
+    key (the join only needs equality, so hashing the band buys nothing
+    and would pin the bucket to one engine's hash); docs sharing any
+    (band, bucket) are candidate pairs. Probability a pair with Jaccard s
+    collides: 1-(1-s^r)^b. Shuffle key = band + r longs — marginally
+    wider than a hashed bucket, same single shuffle."""
     banded = signatures.select(
         "doc_id",
         F.explode(
@@ -137,7 +163,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        F.array(
                             *[
                                 F.element_at("signature", b * rows_per_band + r + 1)
                                 for r in range(rows_per_band)
@@ -170,11 +196,12 @@ def minhash_dedup(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.7,
+    portable: bool = False,
 ) -> DataFrame:
     """Tier 3 end-to-end: signatures → LSH candidates → exact Jaccard
     verification of candidates only → pairs above threshold."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, num_hashes, n)
+    sigs = minhash_signatures(docs, text_col, num_hashes, n, portable=portable)
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
     # Verify ONLY the candidate pairs — the whole point of LSH is that the
     # exact-Jaccard cost scales with |candidates|, not |docs|². Shingles
@@ -205,10 +232,14 @@ def minhash_dedup(
     )
 
 
-def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Tier 4a — 64-bit SimHash: per token, xxhash64 contributes ±1 to
-    each bit position by its bit value; the signature bit is the sign of
-    the sum.
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", portable: bool = False
+) -> DataFrame:
+    """Tier 4a — 64-bit SimHash: per token, xxhash64 (default) or the
+    md5-slice :func:`portable_hash64` (``portable=True``; 60 effective
+    bits, top 4 always clear — DuckDB-twinnable for the oracle)
+    contributes ±1 to each bit position by its bit value; the signature
+    bit is the sign of the sum.
 
     The ±1 sum per bit equals ``2·(#tokens with bit set) − n_tokens``, so
     the whole signature folds into ONE groupBy(doc_id) with 64 conditional
@@ -222,7 +253,10 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.explode(
             F.split(normalized(F.col(text_col)), " ")
         ).alias("token"),
-    ).withColumn("th", F.xxhash64("token"))
+    ).withColumn(
+        "th",
+        portable_hash64(F.col("token")) if portable else F.xxhash64("token"),
+    )
     counts = toks.groupBy("doc_id").agg(
         F.count("*").alias("n"),
         *[

@@ -96,30 +96,33 @@ def plane_sign(p: int, d: int) -> int:
 
 
 def hyperplane_signature(
-    vec: Column, dims: int, bits: int = 16
+    vec: Column, dims: int, bits: int = 16, plane_offset: int = 0
 ) -> Column:
     """Random-hyperplane LSH signature as an integer bucket id.
 
     The signature bit is sign(Σ_d q(vec[d])·plane[p][d]) over the
     int64-quantized components — exact integer sums, so the sign decision
     (and therefore the bucket) is bit-identical in any engine and any
-    summation order."""
+    summation order. ``plane_offset`` selects a disjoint plane set so
+    several independent band signatures can be derived (LSH
+    OR-construction)."""
     qv = F.transform(vec, _q)
 
-    def bit(p: int) -> Column:
+    def bit(i: int) -> Column:
+        p = plane_offset + i
         signs = F.array(*[F.lit(plane_sign(p, d)).cast("long") for d in range(dims)])
         dot = F.aggregate(
             F.zip_with(qv, signs, lambda x, s: x * s),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
-        return F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+        return F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )
 
     out = F.lit(0).cast("long")
-    for p in range(bits):
-        out = out + bit(p)
+    for i in range(bits):
+        out = out + bit(i)
     return out
 
 
@@ -187,10 +190,13 @@ def cosine_topk_ivf(
     Centroids are the vectors with id < ``n_centroids`` — a deterministic
     seed assignment (production would refine with k-means rounds; the
     cell/probe/re-rank machinery is identical and this keeps the operator
-    oracle-checkable). Cell assignment is a per-row argmax over a literal
-    centroid array — pure map-side, NO shuffle of the corpus; at scale the
-    one-time ``repartition(cell)`` of the assigned corpus IS the IVF
-    index build, and queries touch only nprobe/n_centroids of the data.
+    oracle-checkable). Cell assignment is a per-row sort of the
+    n_centroids cosine scores against a SINGLE-ROW broadcast holding all
+    centroids as one array column — pure map-side (broadcast
+    nested-loop join adds a column, not rows), NO shuffle and NO ×16 row
+    blowup before the cell join; at scale the one-time
+    ``repartition(cell)`` of the assigned corpus IS the IVF index build,
+    and queries touch only nprobe/n_centroids of the data.
     """
     import math  # noqa: PLC0415
 
@@ -200,19 +206,23 @@ def cosine_topk_ivf(
         .collect(),
         key=lambda r: r[0],
     )
-    # centroids travel as a broadcast DataFrame (data), NOT as literal
-    # arrays in the plan — a 16×64-literal expression tree costs seconds
-    # of analyzer time on every fresh plan. Components quantize
-    # driver-side with the same floor(x·1e6) the column path uses, norms
-    # precomputed exactly.
+    # centroids travel as ONE broadcast row of array<struct> (data), NOT
+    # as literal arrays in the plan — a 16×64-literal expression tree
+    # costs seconds of analyzer time on every fresh plan. Components
+    # quantize driver-side with the same floor(x·1e6) the column path
+    # uses, norms precomputed exactly.
     spark = embeddings.sparkSession
-    cents_df = spark.createDataFrame(
+    cents_row = spark.createDataFrame(
         [
-            (int(r[0]), qc, sum(q * q for q in qc))
-            for r in cent_rows
-            for qc in [[int(math.floor(float(x) * QUANT)) for x in r[1]]]
+            (
+                [
+                    (int(r[0]), qc, sum(q * q for q in qc))
+                    for r in cent_rows
+                    for qc in [[int(math.floor(float(x) * QUANT)) for x in r[1]]]
+                ],
+            )
         ],
-        "cent_id long, qcvec array<bigint>, cnormsq bigint",
+        "_cents array<struct<cent_id:bigint,qcvec:array<bigint>,cnormsq:bigint>>",
     )
 
     staged = embeddings.select(
@@ -227,35 +237,46 @@ def cosine_topk_ivf(
             lambda acc, v: acc + v,
         ),
     )
-    ccos = (
-        F.aggregate(
-            F.zip_with(F.col("_qv"), F.col("qcvec"), lambda x, y: x * y),
+
+    def cent_cos(c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col("_qv"), c["qcvec"], lambda x, y: x * y),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
-        ).cast("double")
-        / F.sqrt(F.col("_nv").cast("double") * F.col("cnormsq").cast("double"))
-    )
-    ranked = (
-        staged.crossJoin(F.broadcast(cents_df))
-        .select(id_col, vec_col, "_nv", "cent_id", ccos.alias("_ccos"))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.desc("_ccos"), "cent_id")
-            ),
+        ).cast("double") / F.sqrt(
+            F.col("_nv").cast("double") * c["cnormsq"].cast("double")
         )
+
+    # per-row: score all centroids, sort (cos desc, cent_id asc) map-side
+    ordered = F.array_sort(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cent_cos(c).alias("ccos"), c["cent_id"].alias("cent_id")
+            ),
+        ),
+        lambda a, b: F.when(a["ccos"] > b["ccos"], F.lit(-1))
+        .when(a["ccos"] < b["ccos"], F.lit(1))
+        .otherwise((a["cent_id"] - b["cent_id"]).cast("int")),
     )
-    assign = ranked.filter(F.col("_rn") == 1).select(
+    ranked = staged.crossJoin(F.broadcast(cents_row)).select(
+        id_col, vec_col, "_nv", ordered.alias("_ordered")
+    )
+    assign = ranked.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        F.col("cent_id").alias("cell"),
+        F.element_at("_ordered", 1)["cent_id"].alias("cell"),
         F.col("_nv").alias("cnorm"),
     )
-    probes = ranked.filter(query_filter & (F.col("_rn") <= nprobe)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.col("cent_id").alias("cell"),
-        F.col("_nv").alias("qnorm"),
+    probes = (
+        ranked.filter(query_filter)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.col("_nv").alias("qnorm"),
+            F.explode(F.slice("_ordered", 1, nprobe)).alias("_probe"),
+        )
+        .select("query_id", "qvec", F.col("_probe")["cent_id"].alias("cell"), "qnorm")
     )
     cands = F.broadcast(probes).join(assign, "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -276,101 +297,108 @@ def cosine_topk_ivf(
     )
 
 
-def allpairs_cosine_blockwise(
+def allpairs_cosine_lsh(
     embeddings: DataFrame,
-    per_row_k: int | None = None,
+    bands: int = 4,
+    bits_per_band: int = 8,
+    dims: int = 64,
     threshold: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All-pairs cosine via int64 block matrix products (the fast exact
-    path for pairwise similarity).
+    """All-pairs cosine over LSH candidates — fully distributed, no
+    driver-side collect and no global broadcast.
 
-    The quantized corpus matrix is broadcast to every executor; each
-    partition multiplies its block against it with a single integer
-    matmul (Arrow in, numpy BLAS-shaped loop out) instead of millions of
-    interpreted per-pair expressions. Emits pairs (id_a < id_b) filtered
-    to ``threshold`` and/or per-row top-k (a superset of the global
-    top-k: every global-top pair appears in its lower id's row list).
+    Candidate generation is the LSH OR-construction: ``bands``
+    independent hyperplane signatures (disjoint plane sets); two vectors
+    are candidates iff they share at least one band's bucket. Scoring is
+    a per-bucket int64 block matmul inside ``applyInPandas`` — one
+    vectorized multiply per (band, bucket) group instead of millions of
+    interpreted per-pair expressions, and the group is the ONLY unit that
+    must fit in worker memory (bucket size, not corpus size). A pair
+    sharing several bands is scored identically in each (exact integer
+    arithmetic ⇒ bit-identical doubles), so the final ``distinct`` keeps
+    one row.
 
-    Exactness: quantization (floor(double(x)·1e6) → int64) and the
-    int64 matmul are exact; the final cosine double matches the SQL
-    oracle bit-for-bit because the op sequence is identical.
+    Shuffle profile: one hash-partition of (corpus × bands) rows on
+    (band, bucket) + one distinct on emitted pairs — both linear in
+    candidates, never O(N²). Skewed (hot) buckets split across more
+    bands/bits; at 100 TB raise ``bits_per_band`` so buckets stay small.
 
-    Scale: the broadcast side must fit in executor memory (~1 GB per
-    million 64-dim vectors quantized) — beyond that, switch candidate
-    generation to :func:`cosine_topk_lsh` buckets and keep this as the
-    per-bucket scorer.
+    Exactness contract (matches the DuckDB oracle bit-for-bit): component
+    quantization floor(double(x)·1e6) → int64, exact integer dot/norm,
+    ONE final double division.
     """
-    import numpy as np  # noqa: PLC0415
+    sig = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array(
+            *[
+                hyperplane_signature(
+                    F.col(vec_col), dims, bits_per_band, plane_offset=b * bits_per_band
+                )
+                for b in range(bands)
+            ]
+        ).alias("_buckets"),
+    )
+    exploded = sig.select(
+        id_col,
+        vec_col,
+        F.posexplode("_buckets").alias("band", "bucket"),
+    )
 
-    spark = embeddings.sparkSession
-    corpus_pdf = embeddings.select(id_col, vec_col).toPandas()
-    ids = corpus_pdf[id_col].to_numpy()
-    mat = np.floor(
-        np.stack(corpus_pdf[vec_col].to_numpy()).astype(np.float64) * QUANT
-    ).astype(np.int64)
-    norms = (mat * mat).sum(axis=1)
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    quant = QUANT
+    thr = threshold
+    idc, vecc = id_col, vec_col
 
-    out_schema = f"id_a bigint, id_b bigint, cos_sim double"
-
-    def run(batches):
+    def score_group(pdf):
         import numpy as _np  # noqa: PLC0415
         import pandas as _pd  # noqa: PLC0415
 
-        c_ids, c_mat, c_norms = bc.value
-        for pdf in batches:
-            q_ids = pdf[id_col].to_numpy()
-            q_mat = _np.floor(
-                _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64) * QUANT
-            ).astype(_np.int64)
-            q_norms = (q_mat * q_mat).sum(axis=1)
-            dots = q_mat @ c_mat.T  # exact int64
-            cos = dots.astype(_np.float64) / _np.sqrt(
-                q_norms.astype(_np.float64)[:, None] * c_norms.astype(_np.float64)[None, :]
-            )
-            rows_a, rows_b, rows_c = [], [], []
-            for i, qa in enumerate(q_ids):
-                mask = c_ids > qa  # a < b, no self-pairs
-                if threshold is not None:
-                    mask = mask & (cos[i] >= threshold)
-                cand_ids, cand_cos = c_ids[mask], cos[i][mask]
-                if per_row_k is not None and len(cand_ids) > per_row_k:
-                    top = _np.argsort(-cand_cos, kind="stable")[:per_row_k]
-                    cand_ids, cand_cos = cand_ids[top], cand_cos[top]
-                rows_a.extend([qa] * len(cand_ids))
-                rows_b.extend(cand_ids.tolist())
-                rows_c.extend(cand_cos.tolist())
-            yield _pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "cos_sim": rows_c})
+        ids = pdf[idc].to_numpy()
+        mat = _np.floor(
+            _np.stack(pdf[vecc].to_numpy()).astype(_np.float64) * quant
+        ).astype(_np.int64)
+        norms = (mat * mat).sum(axis=1)
+        dots = mat @ mat.T  # exact int64
+        cos = dots.astype(_np.float64) / _np.sqrt(
+            norms.astype(_np.float64)[:, None] * norms.astype(_np.float64)[None, :]
+        )
+        lo = ids[:, None] < ids[None, :]  # a < b, no self-pairs
+        mask = lo if thr is None else (lo & (cos >= thr))
+        ai, bi = _np.nonzero(mask)
+        return _pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bi], "cos_sim": cos[ai, bi]}
+        )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+    pairs = exploded.groupBy("band", "bucket").applyInPandas(
+        score_group, schema="id_a bigint, id_b bigint, cos_sim double"
+    )
+    return pairs.distinct()
 
 
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.9,
+    bands: int = 4,
+    bits_per_band: int = 8,
+    dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ threshold, a<b). Brute-force
-    form; at scale swap candidate generation for the LSH buckets above."""
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        quantized_norm_sq(F.col(vec_col)).alias("na"),
+    """Embedding-cosine near-dup pairs (cos ≥ threshold, a<b) over LSH
+    candidates — the threshold form of :func:`allpairs_cosine_lsh`.
+
+    Near-identical vectors agree on every signature bit (a scaled or
+    lightly-perturbed copy flips no hyperplane sign), so recall at
+    near-dup thresholds is governed by the OR-construction across
+    ``bands`` disjoint plane sets. No O(N²) path: candidates only."""
+    return allpairs_cosine_lsh(
+        embeddings,
+        bands=bands,
+        bits_per_band=bits_per_band,
+        dims=dims,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
     )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        quantized_norm_sq(F.col(vec_col)).alias("nb"),
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a",
-        "id_b",
-        (
-            quantized_dot(F.col("va"), F.col("vb")).cast("double")
-            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
-        ).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= threshold)

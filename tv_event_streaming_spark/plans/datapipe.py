@@ -141,13 +141,15 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_topk",
     f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT doc_id, unnest(list_distinct(
     list_transform(range(1, len({_TOKS})-1),
                    i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])
   )) AS shingle
   FROM documents WHERE len({_TOKS}) >= 3
 ),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 20),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -161,13 +163,15 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
 """,
-    doc="N-gram Jaccard near-dup: 3-gram shingles → shingle self-join → "
-    "exact Jaccard, top-20 pairs (the verify stage of MinHash dedup)",
+    doc="N-gram Jaccard near-dup: 3-gram shingles → hot-shingle guard "
+    "(doc-freq > 20 dropped from the universe — bounds the self-join "
+    "blow-up at scale) → shingle self-join → exact Jaccard, top-20 pairs "
+    "(the verify stage of MinHash dedup)",
     tags=("dedup", "join"),
 )
 def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs)
+    pairs = D.ngram_jaccard_pairs(docs, max_doc_freq=20)
     return pairs.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(20)
 
 
@@ -242,29 +246,6 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "embedding_neardup_topk",
-    f"""
-WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
-b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
-scored AS (
-  SELECT id_a, id_b,
-         {_DOT.format(a='va', b='vb')}
-         / sqrt({_NORMSQ.format(v='va')} * {_NORMSQ.format(v='vb')}) AS cos_sim
-  FROM a JOIN b ON id_a < id_b
-)
-SELECT id_a, id_b, cos_sim FROM scored ORDER BY cos_sim DESC, id_a, id_b LIMIT 20
-""",
-    doc="Embedding-cosine near-dup: top-20 most-similar pairs (threshold "
-    "form in operators.similarity.embedding_near_duplicates)",
-    tags=("similarity", "dedup"),
-)
-def q_embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.allpairs_cosine_blockwise(emb, per_row_k=20)
-    return pairs.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(20)
-
-
-@register(
     "multimodal_meta",
     """
 SELECT doc_id,
@@ -284,19 +265,53 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_metadata(M.attach_binary_payload(docs))
 
 
-# --- rows-only entries (xxhash64 / mapInPandas — no DuckDB twin) ---------
+# --- portable-hash entries (md5-slice hash ⇒ DuckDB-twinnable) -----------
+# The operators default to xxhash64 (the scale path, tested in
+# tests/test_dedup.py); the catalog entries run portable=True so the
+# FULL pipeline — shingling, seeded min-hashing, banding, candidate
+# join, exact verify — is oracle-checked end-to-end.
+
+# portable_hash64 twin (dedup.portable_hash64): first 15 md5 hex chars → int64
+_PH = "CAST(concat('0x', substring(md5({x}),1,15)) AS BIGINT)"
+
+# distinct 3-gram shingles, docs with ≥3 tokens (same CTE the ngram oracle uses)
+_SH_CTE = f"""sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len({_TOKS})-1),
+                   i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])
+  )) AS shingle
+  FROM documents WHERE len({_TOKS}) >= 3
+)"""
+
+
+def _minhash_sig_cte(num_hashes: int = 32) -> str:
+    """sig CTE: per-doc MinHash signature as columns h0..h{k-1}, each the
+    min of the seeded portable hash over the doc's distinct shingles."""
+    mins = ",\n         ".join(
+        _PH.format(x=f"'{i}:' || shingle") + f" AS ph{i}" for i in range(num_hashes)
+    )
+    cols = ", ".join(f"min(ph{i}) AS h{i}" for i in range(num_hashes))
+    return (
+        f"hs AS (SELECT doc_id,\n         {mins}\n  FROM sh),\n"
+        f"sig AS (SELECT doc_id, {cols} FROM hs GROUP BY doc_id)"
+    )
 
 
 @register(
     "minhash_signatures",
-    None,
-    doc="MinHash signatures (32 seeded xxhash64 mins over 3-gram shingles); "
-    "semantics tested against injected dups in tests/test_dedup.py",
-    tags=("dedup", "rows-only"),
+    f"""
+WITH {_SH_CTE},
+{_minhash_sig_cte(32)}
+SELECT doc_id, h0, h1, h31 FROM sig
+""",
+    doc="MinHash signatures (32 seeded md5-slice mins over distinct 3-gram "
+    "shingles; portable hash ⇒ oracle-exact). xxhash64 default tested in "
+    "tests/test_dedup.py",
+    tags=("dedup",),
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, num_hashes=32)
+    sigs = D.minhash_signatures(docs, num_hashes=32, portable=True)
     return sigs.select(
         "doc_id",
         F.element_at("signature", 1).alias("h0"),
@@ -305,47 +320,124 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "simhash_signatures",
-    None,
-    doc="64-bit SimHash per document (token-level, xxhash64-derived)",
-    tags=("dedup", "rows-only"),
-)
-def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_signatures(load_table(spark, sf_dir, "documents"))
+def _minhash_band_union(bands: int = 8, rows_per_band: int = 4) -> str:
+    parts = []
+    for b in range(bands):
+        eqs = " AND ".join(
+            f"a.h{b * rows_per_band + r} = b.h{b * rows_per_band + r}"
+            for r in range(rows_per_band)
+        )
+        parts.append(
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+            f"  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND {eqs}"
+        )
+    return "\nUNION\n".join(parts)
 
 
 @register(
     "minhash_neardup",
-    None,
-    doc="MinHash+LSH near-dup end-to-end: signatures → banded bucket-join "
-    "candidates → exact-Jaccard verify ≥ 0.5; candidate recall vs exact "
-    "pairs tested in tests/test_dedup.py",
-    tags=("dedup", "rows-only"),
+    f"""
+WITH {_SH_CTE},
+{_minhash_sig_cte(32)},
+cand AS (
+{_minhash_band_union(8, 4)}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT doc_a, doc_b, count(*) AS shared
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.5
+""",
+    doc="MinHash+LSH near-dup end-to-end: portable-hash signatures → "
+    "band-tuple bucket-join candidates → exact-Jaccard verify ≥ 0.5 — "
+    "the whole pipeline oracle-checked; recall vs exact pairs tested in "
+    "tests/test_dedup.py",
+    tags=("dedup", "join"),
 )
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_dedup(docs, num_hashes=32, bands=8, threshold=0.5)
+    return D.minhash_dedup(docs, num_hashes=32, bands=8, threshold=0.5, portable=True)
+
+
+def _simhash_sig_cte() -> str:
+    """sig CTE: 64-bit SimHash from portable (60-bit) token hashes — bit
+    b set iff more than half the tokens have hash-bit b set. Bits 60-63
+    are structurally zero (hash < 2^60), matching the Spark side."""
+    sums = ",\n         ".join(
+        f"sum((th >> {b}) & 1) AS b{b}" for b in range(60)
+    )
+    terms = " + ".join(
+        f"CASE WHEN 2*b{b} > n THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END"
+        for b in range(60)
+    )
+    return (
+        f"tk AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents),\n"
+        f"th AS (SELECT doc_id, {_PH.format(x='token')} AS th FROM tk),\n"
+        f"agg AS (SELECT doc_id, count(*) AS n,\n         {sums}\n  FROM th GROUP BY doc_id),\n"
+        f"sig AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM agg)"
+    )
+
+
+@register(
+    "simhash_signatures",
+    f"""
+WITH {_simhash_sig_cte()}
+SELECT doc_id, simhash FROM sig
+""",
+    doc="64-bit SimHash per document (token-level, portable md5-slice "
+    "hash ⇒ oracle-exact; xxhash64 default tested in tests/test_dedup.py)",
+    tags=("dedup",),
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(load_table(spark, sf_dir, "documents"), portable=True)
 
 
 @register(
     "simhash_neardup",
-    None,
-    doc="SimHash near-dup end-to-end: 64-bit signatures → 16-bit-quarter "
-    "bucket-join candidates → bit_count(xor) ≤ 8 verify",
-    tags=("dedup", "rows-only"),
+    f"""
+WITH {_simhash_sig_cte()},
+q AS (
+  SELECT doc_id, simhash, t.q, (simhash >> (t.q * 16)) & 65535 AS quarter
+  FROM sig, (VALUES (0), (1), (2), (3)) t(q)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM q a JOIN q b ON a.q = b.q AND a.quarter = b.quarter AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+""",
+    doc="SimHash near-dup end-to-end: portable signatures → 16-bit-quarter "
+    "bucket-join candidates → bit_count(xor) ≤ 8 verify — oracle-checked",
+    tags=("dedup", "join"),
 )
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(D.simhash_signatures(docs), max_hamming=8)
+    return D.simhash_near_pairs(
+        D.simhash_signatures(docs, portable=True), max_hamming=8
+    )
 
 
-def _lsh_bucket_sql(dims: int = 64, bits: int = 8, vec: str = "embedding") -> str:
+def _lsh_bucket_sql(
+    dims: int = 64, bits: int = 8, vec: str = "embedding", plane_offset: int = 0
+) -> str:
     """The hyperplane-signature bucket as SQL, from the SAME ±1 pattern
     the Spark plan embeds (similarity.plane_sign) — quantized integer
-    dots, so the sign decisions match bit-for-bit."""
+    dots, so the sign decisions match bit-for-bit. ``plane_offset``
+    selects the disjoint plane set of one LSH band."""
     terms = []
-    for p in range(bits):
+    for i in range(bits):
+        p = plane_offset + i
         plus = [d + 1 for d in range(dims) if S.plane_sign(p, d) == 1]
         minus = [d + 1 for d in range(dims) if S.plane_sign(p, d) == -1]
         q = _Q.format(x=f"{vec}[i]")
@@ -353,7 +445,7 @@ def _lsh_bucket_sql(dims: int = 64, bits: int = 8, vec: str = "embedding") -> st
             f"(COALESCE(list_sum(list_transform({plus}, i -> {q})), 0)"
             f" - COALESCE(list_sum(list_transform({minus}, i -> {q})), 0))"
         )
-        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -386,12 +478,73 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_lsh(emb, F.col("vec_id") < 5, k=5, dims=64, bits=8)
 
 
+def _neardup_band_join_sql(bands: int = 4, bits_per_band: int = 8) -> str:
+    """Candidate pairs sharing ≥1 of ``bands`` disjoint-plane band
+    buckets — the SQL twin of similarity.allpairs_cosine_lsh's
+    OR-construction (UNION dedupes pairs found by several bands)."""
+    parts = []
+    for b in range(bands):
+        bkt = _lsh_bucket_sql(plane_offset=b * bits_per_band, bits=bits_per_band)
+        parts.append(
+            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b\n"
+            f"  FROM (SELECT vec_id, {bkt} AS bkt FROM embeddings) a\n"
+            f"  JOIN (SELECT vec_id, {bkt} AS bkt FROM embeddings) b\n"
+            f"    ON a.bkt = b.bkt AND a.vec_id < b.vec_id"
+        )
+    return "\nUNION\n".join(parts)
+
+
+@register(
+    "embedding_neardup_topk",
+    f"""
+WITH cand AS (
+{_neardup_band_join_sql()}
+),
+scored AS (
+  SELECT id_a, id_b,
+         {_DOT.format(a='ea.embedding', b='eb.embedding')}
+         / sqrt({_NORMSQ.format(v='ea.embedding')} * {_NORMSQ.format(v='eb.embedding')}) AS cos_sim
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = id_a
+  JOIN embeddings eb ON eb.vec_id = id_b
+)
+SELECT id_a, id_b, cos_sim FROM scored ORDER BY cos_sim DESC, id_a, id_b LIMIT 20
+""",
+    doc="Embedding-cosine near-dup: top-20 most-similar pairs among LSH "
+    "candidates (4 disjoint 8-bit hyperplane bands, OR-construction) — "
+    "fully distributed per-bucket int64 block matmul, no driver collect; "
+    "threshold form in operators.similarity.embedding_near_duplicates",
+    tags=("similarity", "dedup"),
+)
+def q_embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.allpairs_cosine_lsh(emb, bands=4, bits_per_band=8, dims=64)
+    return pairs.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(20)
+
+
 @register(
     "multimodal_features",
-    None,
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_size,
+       md5(text) AS checksum,
+       CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS fake_frames,
+       CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+            ELSE CAST(list_sum(list_transform(
+                   range(1, 2 * octet_length(encode(text)), 2),
+                   i -> CAST(concat('0x', substring(hex(encode(text)), i, 2)) AS INTEGER)
+                 )) AS DOUBLE) / CAST(octet_length(encode(text)) AS DOUBLE)
+       END AS fake_mean_byte
+FROM documents
+""",
     doc="Arrow-batched mapInPandas feature extraction over binary payloads "
-    "(decode stubbed; deterministic byte-level fake)",
-    tags=("multimodal", "rows-only"),
+    "(decode stubbed; deterministic byte-level fake — mean byte value and "
+    "frame count are pure byte arithmetic, so the SQL twin recomputes "
+    "them from hex(encode(text)) and the entry is fully oracle-checked)",
+    tags=("multimodal",),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
