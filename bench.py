@@ -32,53 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tv_event_streaming_spark.plans import CATALOG  # noqa: E402
 from tv_event_streaming_spark.session import get_spark  # noqa: E402
 
-# Headline set: the flagship read path, the mutation/index derivations,
-# admin analytics, the analytical anchors, and the data-pipeline ops.
-BENCH_QUERIES = [
-    "get_sources",
-    "get_genres",
-    "get_preferences",
-    "titles_for_users",
-    "recommendations",
-    "titles_by_ids",
-    "titles_display",
-    "titles_by_overlap",
-    "prefs_response",
-    "prefs_delta",
-    "index_build",
-    "distinct_prefs",
-    "top_combinations",
-    "data_quality",
-    "table_summary",
-    "hourly_metrics",
-    "latest_event_per_user",
-    "user_sessions",
-    "tail_events",
-    "envelope_roundtrip",
-    "scalar_functions",
-    "pricing_summary",
-    "top_orders",
-    "region_volume",
-    "priority_orders",
-    "forecast_revenue",
-    "promo_share",
-    "dedup_exact",
-    "fingerprints",
-    "token_counts",
-    "text_quality",
-    "lang_id",
-    "ngram_jaccard_topk",
-    "minhash_signatures",
-    "minhash_neardup",
-    "simhash_signatures",
-    "simhash_neardup",
-    "ann_cosine_topk",
-    "ann_cosine_lsh",
-    "ann_cosine_ivf",
-    "embedding_neardup_topk",
-    "multimodal_meta",
-    "multimodal_features",
-]
+# The full catalog, in registration order — every entry is benched, so a
+# newly-registered operator can't silently miss performance coverage.
+BENCH_QUERIES = list(CATALOG)
 
 
 def warmup(spark) -> None:

@@ -1,0 +1,141 @@
+"""KeyedTable storage-layer tests: bucket-granular MERGE rewrites and
+crash-restart from a streaming checkpoint (ST9)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tv_event_streaming_spark.streaming.storage import BUCKET_COL, KeyedTable
+
+KV_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, KV_SCHEMA)
+
+
+def _bucket_dirs(root: str, version: int) -> list[str]:
+    vdir = os.path.join(root, "data", f"v={version}")
+    if not os.path.isdir(vdir):
+        return []
+    return sorted(d for d in os.listdir(vdir) if d.startswith(f"{BUCKET_COL}="))
+
+
+def test_single_key_upsert_rewrites_one_bucket(spark, tmp_path):
+    root = str(tmp_path / "t")
+    table = KeyedTable(spark, root, ["k"], KV_SCHEMA, n_buckets=8)
+    r0 = table.upsert(_kv(spark, [(i, f"x{i}") for i in range(64)]))
+    assert r0 == {"version": 0, "inserts": 64, "modifies": 0}
+    n_seeded = len(_bucket_dirs(root, 0))
+    assert n_seeded > 1  # 64 keys spread over several buckets
+
+    r1 = table.upsert(_kv(spark, [(3, "y")]))
+    assert r1 == {"version": 1, "inserts": 0, "modifies": 1}
+    # O(touched buckets), not O(table): exactly ONE bucket dir in v=1
+    assert len(_bucket_dirs(root, 1)) == 1
+
+    # the manifest stitches v=1's new bucket with v=0's untouched ones
+    with open(os.path.join(root, "_manifests", "v=1.json")) as fh:
+        manifest = json.load(fh)
+    assert len(manifest) == n_seeded
+    froms = {p.split(os.sep)[1] for p in manifest.values()}
+    assert froms == {"v=0", "v=1"}
+
+    # and the read is still the complete, updated table
+    got = {r.k: r.v for r in table.read().collect()}
+    assert len(got) == 64 and got[3] == "y" and got[5] == "x5"
+
+
+def test_delete_emptying_bucket_drops_it(spark, tmp_path):
+    root = str(tmp_path / "t")
+    table = KeyedTable(spark, root, ["k"], KV_SCHEMA, n_buckets=4)
+    table.upsert(_kv(spark, [(i, "x") for i in range(16)]))
+    before = len(json.load(open(os.path.join(root, "_manifests", "v=0.json"))))
+    # delete every key of one bucket (xxhash64 spread: collect them)
+    rows = (
+        _kv(spark, [(i, "x") for i in range(16)])
+        .select("k", F.pmod(F.xxhash64("k"), F.lit(4)).cast("int").alias("b"))
+        .collect()
+    )
+    target = rows[0].b
+    victims = [r.k for r in rows if r.b == target]
+    r = table.delete(_kv(spark, [(k, "x") for k in victims]).select("k"))
+    assert r["deletes"] == len(victims)
+    manifest = json.load(open(os.path.join(root, "_manifests", "v=1.json")))
+    assert len(manifest) == before - 1 and str(target) not in manifest
+    assert table.read().count() == 16 - len(victims)
+
+
+def test_crash_restart_from_checkpoint(spark, tmp_path):
+    """ST9 — a query that dies AFTER applying its side-effect but BEFORE
+    committing the checkpoint must, on restart, replay the batch and
+    converge to exactly-once table contents (idempotent keyed MERGE)."""
+    events = tmp_path / "in"
+    events.mkdir()
+    with open(events / "batch1.json", "w") as fh:
+        for i in range(5):
+            fh.write(json.dumps({"k": i, "v": f"val{i}"}) + "\n")
+
+    table = KeyedTable(spark, str(tmp_path / "t"), ["k"], KV_SCHEMA, n_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+    wire_schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+
+    def source():
+        return spark.readStream.schema(wire_schema).json(str(events))
+
+    def crash(batch_df, epoch_id):
+        table.upsert(batch_df)  # side-effect lands...
+        raise RuntimeError("simulated crash before checkpoint commit")
+
+    q = (
+        source()
+        .writeStream.foreachBatch(crash)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="simulated crash|Terminated with exception"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+    assert table.current_version() == 0  # the effect DID land pre-crash
+
+    def ok(batch_df, epoch_id):
+        table.upsert(batch_df)
+
+    q2 = (
+        source()
+        .writeStream.foreachBatch(ok)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    # the uncommitted batch was replayed (a new version was written) ...
+    assert table.current_version() == 1
+    # ... but contents are exactly-once
+    got = sorted((r.k, r.v) for r in table.read().collect())
+    assert got == [(i, f"val{i}") for i in range(5)]
+
+    # a third restart has nothing pending: no replay, no new version
+    q3 = (
+        source()
+        .writeStream.foreachBatch(ok)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(120)
+    assert table.current_version() == 1

@@ -61,12 +61,17 @@ _NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 
 # Memoized lazy plans per (session, table): spark.read.parquet lists files
 # and reads footers eagerly on every call — catalog-cache behavior a real
-# metastore gives for free.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# metastore gives for free. Keyed on applicationId (stable per live
+# session, never reused by a successor session the way id() can be).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    return spark.sparkContext.applicationId
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    key = (_session_key(spark), sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -88,11 +93,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # per (session, sf_dir) keeps every derived plan free of count-subquery
 # cross joins (which otherwise replicate a broadcast exchange per UNION
 # branch); parquet count() is a metadata read.
-_COUNT_CACHE: dict[tuple[int, str], tuple[int, int]] = {}
+_COUNT_CACHE: dict[tuple[str, str], tuple[int, int]] = {}
 
 
 def _dim_counts(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _COUNT_CACHE:
         sn = load_table(spark, sf_dir, "supplier").count()
         gn = load_table(spark, sf_dir, "nation").count()
@@ -115,6 +120,15 @@ def genres(nation: DataFrame) -> DataFrame:
         F.col("n_nationkey").cast("string").alias("genre_id"),
         F.col("n_name").alias("name"),
     )
+
+
+def valid_ref_data(ref: DataFrame, id_col: str, name_col: str = "name") -> DataFrame:
+    """P11 — the ref-data ingestion validity filter (reference.py:135-137):
+    drop records missing the id or the name before writing. (The
+    reference's "not a dict" arm is the malformed-JSON case, which the
+    PERMISSIVE ``from_json`` decode already turns into NULLs — so one
+    null filter covers both arms here.)"""
+    return ref.filter(F.col(id_col).isNotNull() & F.col(name_col).isNotNull())
 
 
 def titles(part: DataFrame) -> DataFrame:

@@ -33,11 +33,24 @@ def salted_agg(
 
     ``aggs`` maps output name → a SUM-decomposable aggregate over input
     columns (count/sum family — the partial results re-sum exactly).
-    Phase 1 groups on (keys, salt) where salt = crc32(whole-row key
-    spread) % n_salts; phase 2 re-sums per key. Counts stay exact:
-    sum-of-partial-counts ≡ count.
+    Phase 1 groups on (keys, salt) where salt = xxhash64(non-key
+    columns) % n_salts — ROW-derived, so a hot key's rows genuinely
+    spread across ``n_salts`` reducers (a partition-derived salt would
+    add nothing: hash aggregation already emits one partial per
+    (key, input partition)). Phase 2 re-sums per key — tiny. Counts stay
+    exact: sum-of-partial-counts ≡ count.
+
+    When it matters: aggregates whose phase-1 state doesn't collapse
+    map-side (wide partial state, partial-agg disabled by memory
+    pressure) or a downstream consumer keyed on (key, salt). For plain
+    count/sum with healthy map-side partials, a single-phase groupBy is
+    already skew-bounded by #input-partitions.
     """
-    salted = df.withColumn("_salt", F.spark_partition_id() % n_salts)
+    non_key = [c for c in df.columns if c not in keys]
+    salt = (
+        F.pmod(F.xxhash64(*non_key), F.lit(n_salts)) if non_key else F.lit(0)
+    )
+    salted = df.withColumn("_salt", salt)
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[c.alias(f"_p_{name}") for name, c in aggs.items()]
     )

@@ -99,8 +99,8 @@ def q_get_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_domain(
         """
 SELECT user_id,
-       array_to_string(list_sort(list(DISTINCT pref_id) FILTER (WHERE kind='source')), ',') AS sources_csv,
-       array_to_string(list_sort(list(DISTINCT pref_id) FILTER (WHERE kind='genre')), ',') AS genres_csv
+       array_to_string(list_sort(COALESCE(list(DISTINCT pref_id) FILTER (WHERE kind='source'), [])), ',') AS sources_csv,
+       array_to_string(list_sort(COALESCE(list(DISTINCT pref_id) FILTER (WHERE kind='genre'), [])), ',') AS genres_csv
 FROM user_prefs
 WHERE CAST(user_id AS BIGINT) <= 50
 GROUP BY user_id
@@ -575,3 +575,75 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts_plus_1h"),
         F.coalesce(F.col("value").cast("double"), F.lit(0.0)).alias("value_d"),
     )
+
+
+@register(
+    "admin_jobs",
+    """
+SELECT c_custkey,
+       concat(substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8), '-',
+              substring(md5(CAST(c_custkey AS VARCHAR)), 9, 4), '-',
+              '4' || substring(md5(CAST(c_custkey AS VARCHAR)), 14, 3), '-',
+              '8' || substring(md5(CAST(c_custkey AS VARCHAR)), 18, 3), '-',
+              substring(md5(CAST(c_custkey AS VARCHAR)), 21, 12)) AS job_id,
+       CASE WHEN length('arn:aws:lambda:eu-west-1:123456789012:function:ingest-'
+                        || CAST(c_custkey AS VARCHAR)) <= 4 THEN '***'
+            ELSE '***' || right('arn:aws:lambda:eu-west-1:123456789012:function:ingest-'
+                                || CAST(c_custkey AS VARCHAR), 4)
+       END AS masked_arn,
+       CASE WHEN c_name IS NULL OR length(c_name) <= 4 THEN '***'
+            ELSE substring(c_name, 1, 2) || '***' || right(c_name, 2)
+       END AS masked_user
+FROM customer
+""",
+    doc="F10/F11 — admin job ids (uuid4-shaped, deterministic md5 form for "
+    "the oracle; production form is F.uuid() — admin_lambda.py:53) plus "
+    "ARN masking (reference.py:13-17) and username masking "
+    "(add_cognito_user.py:9-17)",
+    tags=("scalar", "admin"),
+)
+def q_admin_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import admin as AD  # noqa: PLC0415
+
+    cust = load_table(spark, sf_dir, "customer")
+    arn = F.concat(
+        F.lit("arn:aws:lambda:eu-west-1:123456789012:function:ingest-"),
+        F.col("c_custkey").cast("string"),
+    )
+    return cust.select(
+        "c_custkey",
+        AD.deterministic_job_id(F.col("c_custkey")).alias("job_id"),
+        AD.mask_arn(arn).alias("masked_arn"),
+        AD.mask_username(F.col("c_name")).alias("masked_user"),
+    )
+
+
+@register(
+    "ref_data_validity",
+    with_domain(
+        """
+SELECT id, name FROM (
+  SELECT CASE WHEN CAST(source_id AS BIGINT) % 11 = 0 THEN NULL ELSE source_id END AS id,
+         CASE WHEN CAST(source_id AS BIGINT) % 7 = 0 THEN NULL ELSE name END AS name
+  FROM sources
+) WHERE id IS NOT NULL AND name IS NOT NULL
+"""
+    ),
+    doc="P11 — ref-data ingestion validity filter (reference.py:135-137): "
+    "records missing id or name are dropped before the write; exercised "
+    "over a deterministically-dirtied sources dim",
+    tags=("filter", "ingestion"),
+)
+def q_ref_data_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..domain import valid_ref_data  # noqa: PLC0415
+
+    src = derive_domain(spark, sf_dir)["sources"]
+    dirtied = src.select(
+        F.when(F.col("source_id").cast("long") % 11 == 0, F.lit(None))
+        .otherwise(F.col("source_id"))
+        .alias("id"),
+        F.when(F.col("source_id").cast("long") % 7 == 0, F.lit(None))
+        .otherwise(F.col("name"))
+        .alias("name"),
+    )
+    return valid_ref_data(dirtied, "id", "name")

@@ -6,27 +6,37 @@ idempotent keyed puts (consumer.py:58-89), nested-field updates
 (enrichment.py:114-125), and a NEW_IMAGE change stream
 (uktv-event-streaming-app.yaml:55-56) — on plain parquet:
 
-- each MERGE writes a NEW immutable version directory ``v=N`` and then
-  flips the ``_CURRENT`` pointer (atomic rename), so readers never see a
-  half-written table;
-- every MERGE appends INSERT/MODIFY rows (full new image + version) to
-  ``_changes/``, which Structured Streaming can tail as a file source —
-  the Delta CDF stand-in.
+- the key space is hash-partitioned into ``n_buckets`` stable buckets
+  (``pmod(xxhash64(keys), n)``); a MERGE rewrites ONLY the buckets its
+  batch touches — O(batch ∪ touched buckets), never O(table);
+- each MERGE writes new immutable bucket directories under
+  ``data/v=N/`` and publishes a version MANIFEST mapping every bucket to
+  the version directory that last wrote it, then flips the ``_CURRENT``
+  pointer (atomic rename) — readers always see a consistent snapshot
+  stitched from per-bucket paths;
+- every MERGE appends INSERT/MODIFY/REMOVE rows (full new image +
+  version) to ``_changes/``, which Structured Streaming can tail as a
+  file source — the Delta CDF stand-in;
+- merge counts come from ``DataFrame.observe`` metrics collected during
+  the journal write itself — no extra count jobs per merge.
 
 On a real deployment this class is replaced wholesale by Delta/Iceberg
 ``MERGE INTO`` + change data feed; the pipeline code above it doesn't
-change. Scale note: rewrite cost is O(table) per batch here; a format
-with file-level pruning makes it O(touched partitions) — the pipeline
-semantics (idempotent key MERGE) are identical.
+change. The bucket layout is exactly the rewrite-granularity story those
+formats implement with file-level pruning; at 100 TB you'd raise
+``n_buckets`` so a micro-batch touches a small fraction of files.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+BUCKET_COL = "bucket__"
 
 
 class KeyedTable:
@@ -36,11 +46,13 @@ class KeyedTable:
         path: str,
         key_cols: list[str],
         schema: T.StructType,
+        n_buckets: int = 16,
     ) -> None:
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.schema = schema
+        self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
 
     # -- version bookkeeping ------------------------------------------------
@@ -60,16 +72,40 @@ class KeyedTable:
         except FileNotFoundError:
             return -1
 
-    def _version_dir(self, v: int) -> str:
-        return os.path.join(self.path, f"v={v}")
+    def _manifest_path(self, v: int) -> str:
+        return os.path.join(self.path, "_manifests", f"v={v}.json")
+
+    def _read_manifest(self, v: int) -> dict[int, str]:
+        """bucket id -> data directory (relative to table root)."""
+        if v < 0:
+            return {}
+        with open(self._manifest_path(v)) as fh:
+            return {int(k): p for k, p in json.load(fh).items()}
+
+    def _write_manifest(self, v: int, manifest: dict[int, str]) -> None:
+        os.makedirs(os.path.dirname(self._manifest_path(v)), exist_ok=True)
+        tmp = self._manifest_path(v) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({str(k): p for k, p in manifest.items()}, fh)
+        os.replace(tmp, self._manifest_path(v))
+
+    def _bucket(self) -> F.Column:
+        return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets)).cast("int")
 
     # -- read ---------------------------------------------------------------
 
-    def read(self) -> DataFrame:
-        v = self.current_version()
-        if v < 0:
+    def _read_buckets(self, manifest: dict[int, str], buckets: list[int] | None = None) -> DataFrame:
+        dirs = [
+            os.path.join(self.path, p)
+            for b, p in sorted(manifest.items())
+            if buckets is None or b in buckets
+        ]
+        if not dirs:
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(self._version_dir(v))
+        return self.spark.read.schema(self.schema).parquet(*dirs)
+
+    def read(self) -> DataFrame:
+        return self._read_buckets(self._read_manifest(self.current_version()))
 
     def read_changes(self) -> DataFrame:
         if not os.path.isdir(self.changes_dir) or not any(
@@ -97,18 +133,66 @@ class KeyedTable:
 
     # -- merge --------------------------------------------------------------
 
+    def _touched_buckets(self, batch: DataFrame) -> list[int]:
+        """Distinct bucket ids of a batch — bounded by ``n_buckets``
+        (this is the one driver-side collect in the merge path; it
+        returns at most n_buckets ints)."""
+        rows = batch.select(self._bucket().alias("b")).distinct().collect()
+        return sorted(r.b for r in rows)
+
+    def _publish(
+        self,
+        v: int,
+        new_state: DataFrame,
+        touched: list[int],
+        changes: DataFrame,
+        obs: Observation,
+        keys: tuple[str, ...] = ("inserts", "modifies", "deletes"),
+    ) -> dict[str, int]:
+        """Write touched buckets + journal, update the manifest, flip the
+        pointer, and return the observed merge counts."""
+        data_dir = os.path.join(self.path, "data", f"v={v}")
+        new_state.withColumn(BUCKET_COL, self._bucket()).write.partitionBy(
+            BUCKET_COL
+        ).mode("overwrite").parquet(data_dir)
+        changes.write.mode("append").parquet(self.changes_dir)
+
+        manifest = self._read_manifest(v - 1)
+        for b in touched:
+            bdir = os.path.join(data_dir, f"{BUCKET_COL}={b}")
+            if os.path.isdir(bdir):
+                manifest[b] = os.path.relpath(bdir, self.path)
+            else:
+                manifest.pop(b, None)  # bucket emptied (all rows deleted)
+        self._write_manifest(v, manifest)
+        self._flip(v)
+        got = obs.get
+        return {"version": v, **{k: int(got[k]) for k in keys if k in got}}
+
+    @staticmethod
+    def _observed(changes: DataFrame, obs: Observation) -> DataFrame:
+        return changes.observe(
+            obs,
+            F.sum(F.when(F.col("event_name") == "INSERT", 1).otherwise(0)).alias("inserts"),
+            F.sum(F.when(F.col("event_name") == "MODIFY", 1).otherwise(0)).alias("modifies"),
+            F.sum(F.when(F.col("event_name") == "REMOVE", 1).otherwise(0)).alias("deletes"),
+        )
+
     def upsert(self, batch: DataFrame) -> dict[str, int]:
         """MERGE: insert new keys, overwrite existing ones (the
         reference's idempotent put). Appends the change journal.
 
         The batch is deduplicated on the key first (last-writer-wins is
         unnecessary — reference batches carry identical payloads per key,
-        consumer.py:57).
-        """
+        consumer.py:57). Only the buckets containing batch keys are read
+        and rewritten."""
         batch = batch.dropDuplicates(self.key_cols)
         if batch.isEmpty():  # empty micro-batches must not write versions
             return {"version": self.current_version(), "inserts": 0, "modifies": 0}
-        current = self.read()
+        touched = self._touched_buckets(batch)
+        current = self._read_buckets(
+            self._read_manifest(self.current_version()), touched
+        )
         # journal classification: new key -> INSERT, existing -> MODIFY
         inserts = batch.join(current, self.key_cols, "left_anti")
         modifies = batch.join(
@@ -118,26 +202,31 @@ class KeyedTable:
         new_state = untouched.unionByName(batch)
 
         v = self.current_version() + 1
-        new_state.write.mode("overwrite").parquet(self._version_dir(v))
-        changes = inserts.select(F.lit("INSERT").alias("event_name"), F.lit(v).cast("long").alias("version"), "*").unionByName(
-            modifies.select(F.lit("MODIFY").alias("event_name"), F.lit(v).cast("long").alias("version"), "*")
+        changes = inserts.select(
+            F.lit("INSERT").alias("event_name"), F.lit(v).cast("long").alias("version"), "*"
+        ).unionByName(
+            modifies.select(
+                F.lit("MODIFY").alias("event_name"), F.lit(v).cast("long").alias("version"), "*"
+            )
         )
-        changes.write.mode("append").parquet(self.changes_dir)
-        self._flip(v)
-        n_ins = inserts.count()
-        n_mod = modifies.count()
-        return {"version": v, "inserts": n_ins, "modifies": n_mod}
+        obs = Observation()
+        out = self._publish(v, new_state, touched, self._observed(changes, obs), obs)
+        out.pop("deletes", None)
+        return out
 
     def update_fields(self, updates: DataFrame, fields: list[str]) -> dict[str, int]:
         """Field-level MERGE (the reference's UpdateItem on nested paths,
         enrichment.py:114-125): for keys present in ``updates``, set only
         ``fields``; all other columns and rows unchanged. Rows in
         ``updates`` whose key doesn't exist are ignored (fetch-then-update
-        semantics)."""
+        semantics). Only touched buckets are rewritten."""
         upd = updates.dropDuplicates(self.key_cols).alias("u")
         if upd.isEmpty():
             return {"version": self.current_version(), "modifies": 0}
-        current = self.read()
+        touched = self._touched_buckets(upd)
+        current = self._read_buckets(
+            self._read_manifest(self.current_version()), touched
+        )
         cur = current.alias("c")
         merged = cur.join(upd, self.key_cols, "left_outer").select(
             *[F.col(f"c.{k}").alias(k) for k in self.key_cols],
@@ -153,30 +242,37 @@ class KeyedTable:
                 if f not in self.key_cols
             ],
         )
-        touched = upd.join(cur, self.key_cols, "left_semi")
+        touched_keys = upd.join(cur, self.key_cols, "left_semi")
         v = self.current_version() + 1
-        merged.write.mode("overwrite").parquet(self._version_dir(v))
-        new_images = merged.join(touched.select(*self.key_cols), self.key_cols, "left_semi")
-        new_images.select(
+        new_images = merged.join(
+            touched_keys.select(*self.key_cols), self.key_cols, "left_semi"
+        )
+        changes = new_images.select(
             F.lit("MODIFY").alias("event_name"), F.lit(v).cast("long").alias("version"), "*"
-        ).write.mode("append").parquet(self.changes_dir)
-        self._flip(v)
-        return {"version": v, "modifies": new_images.count()}
+        )
+        obs = Observation()
+        out = self._publish(v, merged, touched, self._observed(changes, obs), obs)
+        return {"version": out["version"], "modifies": out["modifies"]}
 
     def delete(self, keys: DataFrame) -> dict[str, int]:
-        """Keyed delete (the preference-removal path, preferences.py:153-161)."""
+        """Keyed delete (the preference-removal path, preferences.py:153-161).
+        Only touched buckets are rewritten; a bucket left empty drops out
+        of the manifest."""
         if keys.isEmpty():
             return {"version": self.current_version(), "deletes": 0}
-        current = self.read()
+        touched = self._touched_buckets(keys)
+        current = self._read_buckets(
+            self._read_manifest(self.current_version()), touched
+        )
         removed = current.join(keys, self.key_cols, "left_semi")
         remaining = current.join(keys, self.key_cols, "left_anti")
         v = self.current_version() + 1
-        remaining.write.mode("overwrite").parquet(self._version_dir(v))
-        removed.select(
+        changes = removed.select(
             F.lit("REMOVE").alias("event_name"), F.lit(v).cast("long").alias("version"), "*"
-        ).write.mode("append").parquet(self.changes_dir)
-        self._flip(v)
-        return {"version": v, "deletes": removed.count()}
+        )
+        obs = Observation()
+        out = self._publish(v, remaining, touched, self._observed(changes, obs), obs)
+        return {"version": out["version"], "deletes": out["deletes"]}
 
     def _flip(self, v: int) -> None:
         tmp = self._pointer + ".tmp"
