@@ -10,14 +10,15 @@ Each query executes end-to-end into the no-op sink (full computation,
 zero write cost). Timings exclude session startup.
 
 Timing is steady-state (JMH-style): each query runs once untimed, then
-once timed. Rationale: a first (cold) execution's cost is dominated by
-single-shot JVM effects — Janino codegen compile plus HotSpot C2
-compile-queue backlog from the preceding queries' generated classes —
-which we measured at 9-37s of nondeterministic noise for an identical
-0.6s plan (a 100k-row projection running interpreted in one task while
-its generated method waits in the JIT queue). On the 100 TB target those
-one-time costs amortize to zero; steady-state is the number that tracks
-plan quality. Cold timings are still printed per query on stderr.
+up to three timed runs; the MINIMUM is reported. Rationale: a cold
+execution's cost is dominated by single-shot JVM effects — Janino
+codegen compile plus HotSpot C2 compile-queue backlog from the
+preceding queries' hundreds of generated classes — which we measured at
+9-56s of nondeterministic noise for identical 0.6-3s plans (tasks run
+interpreted while their generated methods wait in the JIT queue; a
+fresh session runs the same plan 5-20x faster). On the 100 TB target
+those one-time costs amortize to zero; min-of-3 steady-state is the
+number that tracks plan quality. Cold timings still print on stderr.
 """
 
 from __future__ import annotations
@@ -75,9 +76,15 @@ def main() -> None:
         t0 = time.perf_counter()
         entry.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold = time.perf_counter() - t0
-        t1 = time.perf_counter()
-        entry.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t1, 3)
+        best = float("inf")
+        for _ in range(3):
+            time.sleep(0.5)  # let the C2 compile queue drain new classes
+            t1 = time.perf_counter()
+            entry.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t1)
+            if best <= 1.0:  # already steady; don't burn bench wall-clock
+                break
+        timings[name] = round(best, 3)
         print(
             f"# {name}: {timings[name]:.3f}s (cold {cold:.3f}s)", file=sys.stderr
         )

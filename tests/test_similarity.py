@@ -55,3 +55,26 @@ def test_near_duplicate_threshold(spark, emb_with_twins):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     expected = {(i, i + OFFSET) for i in range(50)}
     assert expected <= got
+
+
+def test_kmeans_refined_ivf_keeps_recall(spark, emb_with_twins):
+    """Lloyd's refinement produces k usable centroids, and IVF with the
+    refined centroids still retrieves the injected twin as top-1 (the
+    twin shares its query's cell: identical direction ⇒ identical
+    cosine-argmax assignment)."""
+    cents = S.kmeans_centroids(emb_with_twins, k=8, iters=2)
+    assert len(cents) == 8
+    assert all(len(vec) == 64 for _, vec in cents)
+    # refinement actually moved the seeds
+    seeds = {r.vec_id: list(r.embedding) for r in emb_with_twins.filter(
+        F.col("vec_id") < 8).collect()}
+    assert any(
+        abs(vec[d] - float(seeds[cid][d])) > 1e-9
+        for cid, vec in cents for d in range(64)
+    )
+    topk = S.cosine_topk_ivf(
+        emb_with_twins, F.col("vec_id") < 5, k=1, nprobe=4, centroids=cents
+    )
+    rows = {r.query_id: r for r in topk.collect()}
+    for q in range(5):
+        assert rows[q].neighbor_id == q + OFFSET

@@ -119,6 +119,16 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic affine-permutation coefficients for MinHash function
+    ``i``: h_i(x) = (a_i·(base(x) & 0xFFFFFFFF) + b_i) mod 2^32, with
+    a_i odd and < 2^31 so the product stays inside signed int64 — the
+    SAME integer arithmetic is embedded in the DuckDB oracle."""
+    a = ((2654435761 * (i + 1)) & 0x7FFFFFFF) | 1
+    b = (40503 * i + 12345) & 0xFFFFFFFF
+    return a, b
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -128,18 +138,35 @@ def minhash_signatures(
 ) -> DataFrame:
     """Tier 3a — k-permutation MinHash signature per document.
 
-    Each of the k hash functions is seeded xxhash64 (default; the scale
-    path) or the md5-slice :func:`portable_hash64` (``portable=True``;
-    bit-identical in DuckDB, used by the oracle-checked catalog entry);
-    the signature element is the min over the doc's shingles. Shuffles
-    once (groupBy doc_id) regardless of k.
+    The k permutations are affine transforms of ONE base hash per
+    shingle (the textbook ``(a_i·h + b_i) mod 2^32`` construction): k·32
+    integer ops per shingle instead of k full hash evaluations. The base
+    hash is xxhash64 (default; the scale path) or the md5-slice
+    :func:`portable_hash64` (``portable=True``; bit-identical in DuckDB,
+    used by the oracle-checked catalog entry). The signature element is
+    the min over the doc's shingles; one shuffle (groupBy doc_id)
+    regardless of k.
     """
-    sh = _shingles(docs, text_col, n)
-    hash_i = (
-        (lambda i: portable_hash64(F.col("shingle"), seed=i))
+    # repartition on doc_id BEFORE shingle hashing: the per-shingle work
+    # then spreads across all cores even when the input is one
+    # unsplittable row group, and the groupBy(doc_id) below reuses this
+    # partitioning — the shuffle moves EARLIER onto the (smaller) raw
+    # docs instead of the shingle partials. The partition count is
+    # explicit: AQE would otherwise coalesce the tiny-bytes exchange back
+    # to one partition and re-serialize the CPU-heavy stage.
+    n_par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = _shingles(docs.repartition(n_par, F.col("doc_id")), text_col, n)
+    base = (
+        portable_hash64(F.col("shingle"))
         if portable
-        else (lambda i: F.xxhash64(F.lit(i), F.col("shingle")))
+        else F.xxhash64(F.col("shingle"))
     )
+    sh = sh.withColumn("_b32", base.bitwiseAND(F.lit(0xFFFFFFFF)))
+
+    def hash_i(i: int) -> Column:
+        a, b = minhash_coeffs(i)
+        return (F.lit(a) * F.col("_b32") + F.lit(b)) % F.lit(1 << 32)
+
     mins = [F.min(hash_i(i)).alias(f"h{i}") for i in range(num_hashes)]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
@@ -248,7 +275,11 @@ def simhash_signatures(
     64·|tokens| rows; at 100 TB that's the difference between a working
     job and a dead one). All JVM-side; no Python.
     """
-    toks = docs.select(
+    # repartition(doc_id): parallelize per-token hashing from unsplittable
+    # inputs; the groupBy(doc_id) below reuses the partitioning. Explicit
+    # count so AQE doesn't coalesce the tiny exchange back to one task.
+    n_par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(n_par, F.col("doc_id")).select(
         "doc_id",
         F.explode(
             F.split(normalized(F.col(text_col)), " ")

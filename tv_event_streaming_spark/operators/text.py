@@ -122,6 +122,41 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard LLM-ingestion preprocessing step (context-window packing).
+
+    Pure JVM and shuffle-free: staged tokens → stride ``sequence`` of
+    chunk starts → ``posexplode`` → ``slice``/``array_join`` per chunk.
+    One output row per chunk: (doc_id, chunk_id, n_tokens, chunk_text).
+    At 100 TB this runs inside whole-stage codegen over the scan; row
+    count multiplies by ~ntokens/stride with zero exchanges."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    staged = staged_tokens(docs, text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("_toks") - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    exploded = staged.select(
+        "doc_id", "_toks", F.posexplode(starts).alias("chunk_id", "start")
+    )
+    piece = F.slice(F.col("_toks"), F.col("start"), chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def word_ngrams_from(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a STAGED token-array column
     (see :func:`staged_tokens` — never pass a computed expression here;

@@ -3,8 +3,9 @@
 One :class:`CatalogEntry` per implemented operator from SURVEY.md §2.
 ``build`` is the idiomatic-Spark plan (DataFrame API); ``oracle`` is the
 ANSI-SQL twin DuckDB runs on the same parquet tables for the driver's
-row-count + schema + value-hash comparison. Entries with ``oracle=None``
-are genuinely non-SQL-expressible and get a rows-only check.
+row-count + schema + value-hash comparison. Every registered entry
+currently carries an oracle (rows-only checks are reserved for genuinely
+non-SQL-expressible ops; as of round 2 there are none).
 
 Determinism rules every entry follows:
 - every computed column is aliased IDENTICALLY in both plans;

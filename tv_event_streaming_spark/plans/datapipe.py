@@ -5,9 +5,14 @@ SQL-oracle notes:
 - md5 fingerprints match across engines (both hash the utf-8 bytes);
 - cosine similarities quantize components to int64 (floor(x·1e6)) so the
   dot/norm sums are exact integers — bit-identical doubles on both sides;
-- entries built on xxhash64 (MinHash, SimHash, hyperplane LSH) have no
-  DuckDB twin → rows-only checks; their SEMANTICS are tested in
-  tests/test_dedup.py against injected duplicates.
+- hash-based operators (MinHash, SimHash) run their catalog entries with
+  the md5-slice portable hash (dedup.portable_hash64 — bit-identical in
+  DuckDB), so every entry here is fully hash-checked; the xxhash64
+  scale-path defaults are covered by tests/test_dedup.py against
+  injected duplicates;
+- hyperplane-LSH bucketing embeds the same ±1 plane pattern in both
+  plans (similarity.plane_sign ↔ _lsh_bucket_sql), with sign decisions
+  on exact quantized-integer sums.
 """
 
 from __future__ import annotations
@@ -176,6 +181,31 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks",
+    f"""
+WITH st AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ex AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - 16, 1) + 1, 112)) AS start
+  FROM st
+)
+SELECT doc_id,
+       CAST((start - 1) // 112 AS INTEGER) AS chunk_id,
+       CAST(len(list_slice(toks, start, start + 127)) AS INTEGER) AS n_tokens,
+       array_to_string(list_slice(toks, start, start + 127), ' ') AS chunk_text
+FROM ex
+""",
+    doc="Context-window chunking: 128-token chunks with 16-token overlap "
+    "(stride 112) — the standard LLM-ingestion packing step; shuffle-free "
+    "sequence+posexplode+slice inside whole-stage codegen",
+    tags=("text", "chunking"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs, chunk_tokens=128, overlap=16)
+
+
+@register(
     "ann_cosine_topk",
     f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
@@ -285,15 +315,17 @@ _SH_CTE = f"""sh AS (
 
 
 def _minhash_sig_cte(num_hashes: int = 32) -> str:
-    """sig CTE: per-doc MinHash signature as columns h0..h{k-1}, each the
-    min of the seeded portable hash over the doc's distinct shingles."""
-    mins = ",\n         ".join(
-        _PH.format(x=f"'{i}:' || shingle") + f" AS ph{i}" for i in range(num_hashes)
-    )
-    cols = ", ".join(f"min(ph{i}) AS h{i}" for i in range(num_hashes))
+    """sig CTE: per-doc MinHash signature as columns h0..h{k-1} — ONE
+    portable base hash per shingle, then the same affine permutations
+    (dedup.minhash_coeffs) the Spark plan applies, min per doc."""
+    terms = []
+    for i in range(num_hashes):
+        a, b = D.minhash_coeffs(i)
+        terms.append(f"min(({a} * b32 + {b}) % 4294967296) AS h{i}")
+    base = _PH.format(x="shingle")
     return (
-        f"hs AS (SELECT doc_id,\n         {mins}\n  FROM sh),\n"
-        f"sig AS (SELECT doc_id, {cols} FROM hs GROUP BY doc_id)"
+        f"hs AS (SELECT doc_id, ({base} & 4294967295) AS b32 FROM sh),\n"
+        f"sig AS (SELECT doc_id, {', '.join(terms)} FROM hs GROUP BY doc_id)"
     )
 
 

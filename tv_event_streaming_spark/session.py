@@ -46,6 +46,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # A catalog-wide run generates hundreds of whole-stage-codegen
+        # classes; the JVM default 240 MB code cache fills, HotSpot starts
+        # emergency flushing/recompiling, and identical plans swing
+        # 0.5s→50s. A bigger cache keeps compiled code resident.
+        .config(
+            "spark.driver.extraJavaOptions",
+            # A catalog-wide run generates hundreds of codegen classes;
+            # keep them resident (bigger code cache) and drain the C2
+            # compile queue faster (more compiler threads) so fresh plans
+            # don't run interpreted behind a compile backlog.
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+            "-XX:CICompilerCount=16",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
