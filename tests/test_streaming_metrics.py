@@ -112,3 +112,38 @@ def test_running_totals_cross_batch_state(spark, sf_dir, event_stream_dir, tmp_p
         | (F.abs(F.col("sv") - F.col("bv")) > 1e-6)
     )
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_dedup_stream_cross_batch(spark, tmp_path):
+    """Cross-micro-batch exact dedup with bounded state
+    (dropDuplicatesWithinWatermark): a key redelivered in a LATER
+    micro-batch within the watermark horizon is dropped."""
+    import json
+
+    from tv_event_streaming_spark.streaming.dedup import start_dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: keys 0-4; batch 2: keys 3-7 (3,4 are cross-batch dupes)
+    with open(src / "a.json", "w") as fh:
+        for i in range(5):
+            fh.write(json.dumps({"event_id": i, "ts": f"2025-07-04 10:0{i}:00"}) + "\n")
+    with open(src / "b.json", "w") as fh:
+        for i in range(3, 8):
+            fh.write(json.dumps({"event_id": i, "ts": f"2025-07-04 10:1{i-3}:00"}) + "\n")
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_dedup_stream(
+        stream,
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+        key_cols=["event_id"],
+        watermark="1 hour",
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.read.parquet(str(tmp_path / "sink")).collect())
+    assert got == list(range(8)), f"expected each key once, got {got}"

@@ -87,6 +87,40 @@ def hourly_metrics(events: DataFrame) -> DataFrame:
     )
 
 
+def value_percentiles(
+    events: DataFrame, ps: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Exact discrete percentiles of ``value`` per event_type via the
+    rank construction (row at rank ceil(p·n) in partition order) —
+    integer index selection, no interpolation arithmetic, so any engine
+    produces identical doubles. Ties break on event_id.
+
+    Scale: the window partitions by event_type, so each group sorts
+    independently in parallel. For a 100 TB single-group percentile use
+    ``approx_percentile`` (t-digest sketch, no cross-engine oracle —
+    sketch internals are engine-specific) and keep this form as the
+    verifier on samples."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    o = (
+        events.filter(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias(f"p{int(round(p * 100))}")
+        for p in ps
+    ]
+    return o.groupBy("event_type").agg(
+        *aggs, F.max("n").cast("bigint").alias("n_values")
+    )
+
+
 def latest_event_per_user(events: DataFrame) -> DataFrame:
     """W1 — latest-by-group: most recent event per user
     (admin_lambda.py:166-177's latest-log-stream). row_number over a

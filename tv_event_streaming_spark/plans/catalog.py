@@ -579,6 +579,31 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_percentiles",
+    """
+WITH o AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type,
+       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99,
+       CAST(max(n) AS BIGINT) AS n_values
+FROM o GROUP BY event_type
+""",
+    doc="Exact discrete percentiles per event_type (rank construction — "
+    "integer index selection, engine-identical doubles); the 100 TB "
+    "single-group form is approx_percentile, kept oracle-free by design",
+    tags=("window", "agg"),
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.value_percentiles(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "admin_jobs",
     """
 SELECT c_custkey,

@@ -238,3 +238,80 @@ def q_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+@register(
+    "supplier_diversity",
+    """
+SELECT p_type, CAST(p_size AS INTEGER) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size IN (1, 5, 9, 13, 17) AND p_type NOT LIKE 'MEDIUM%'
+GROUP BY p_type, p_size
+ORDER BY supplier_cnt DESC, p_type, p_size
+LIMIT 20
+""",
+    doc="TPC-H Q16 shape — count(DISTINCT) per attribute group over a "
+    "fact⋈dim join with a negative predicate; the distinct is the "
+    "expensive part (two-level shuffle: (group, supp) dedup then group "
+    "count), exactly what Spark's partial-distinct aggregation handles.",
+    tags=("agg", "distinct", "bench"),
+)
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 5, 9, 13, 17) & ~F.col("p_type").like("MEDIUM%")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_type",
+            F.col("p_size").cast("int").alias("p_size"),
+            "supplier_cnt",
+        )
+        .orderBy(F.desc("supplier_cnt"), "p_type", "p_size")
+        .limit(20)
+    )
+
+
+@register(
+    "big_spenders",
+    """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 110
+)
+SELECT c_name, o_orderkey, o_totalprice, total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    doc="TPC-H Q18 shape — HAVING over a fact aggregation feeding a "
+    "dim-join top-k: the aggregate prunes the fact table BEFORE the "
+    "joins (orders/customer join only the few big orders, broadcast-"
+    "sized at any scale).",
+    tags=("agg", "having", "bench"),
+)
+def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_q"))
+        .filter(F.col("_q") > 110)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
