@@ -579,6 +579,121 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_order",
+    """
+WITH l0 AS (
+  SELECT user_id AS _k, ts AS _t, 1 AS _side,
+         event_id, user_id, ts,
+         CAST(NULL AS BIGINT) AS o_orderkey,
+         CAST(NULL AS DOUBLE) AS o_totalprice,
+         CAST(NULL AS TIMESTAMP) AS o_orderdate
+  FROM events
+),
+r0 AS (
+  SELECT o_custkey AS _k, o_orderdate AS _t, 0 AS _side,
+         CAST(NULL AS BIGINT) AS event_id,
+         CAST(NULL AS BIGINT) AS user_id,
+         CAST(NULL AS TIMESTAMP) AS ts,
+         o_orderkey, o_totalprice, o_orderdate
+  FROM orders
+),
+u AS (SELECT * FROM l0 UNION ALL SELECT * FROM r0),
+f AS (
+  SELECT _side, event_id, user_id, ts,
+         last_value(o_orderkey IGNORE NULLS) OVER w AS o_orderkey,
+         last_value(o_totalprice IGNORE NULLS) OVER w AS o_totalprice,
+         last_value(o_orderdate IGNORE NULLS) OVER w AS o_orderdate
+  FROM u
+  WINDOW w AS (PARTITION BY _k
+               ORDER BY _t ASC NULLS FIRST, _side ASC NULLS FIRST,
+                        o_orderkey ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, o_orderkey, o_totalprice, o_orderdate
+FROM f WHERE _side = 1
+""",
+    doc="Backward as-of join — each event attaches the user's most "
+    "recent order at/before event time (NULLs when none): union + "
+    "running last_value(ignore nulls), ONE shuffle, no inequality join; "
+    "the oracle mirrors the identical construction (operators/temporal.py)",
+    tags=("asof", "window", "join"),
+)
+def q_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import temporal as TP  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    return TP.asof_join_backward(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice", "o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+
+
+@register(
+    "events_error_context",
+    """
+WITH err AS (
+  SELECT event_id AS err_id, user_id, ts AS err_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT err_id, err.user_id AS user_id, err_ts,
+       CAST(count(*) AS BIGINT) AS n_prior,
+       CAST(SUM(CAST(FLOOR(e.value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
+FROM err JOIN events e
+  ON e.user_id = err.user_id
+ AND e.ts > err.err_ts - INTERVAL 1 HOUR
+ AND e.ts <= err.err_ts
+ AND e.event_id <> err.err_id
+GROUP BY err_id, err.user_id, err_ts
+""",
+    doc="Bounded range join — per error event, count + exact-int value "
+    "sum of the same user's events in the preceding hour. Spark side "
+    "uses the interval-bucket equi-join (each row lands in ≤2 buckets; "
+    "no nested-loop inequality join); oracle is the plain range join "
+    "(DuckDB IEJoin)",
+    tags=("range-join", "agg"),
+)
+def q_events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import temporal as TP  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    src = ev.select(
+        F.col("event_id").alias("src_id"),
+        F.col("user_id").alias("src_user"),
+        F.col("ts").alias("src_ts"),
+        "value",
+    )
+    pairs = TP.range_join_bucketed(
+        errs,
+        src,
+        left_key="user_id",
+        right_key="src_user",
+        left_ts="err_ts",
+        right_ts="src_ts",
+        window_seconds=3600,
+    )
+    return (
+        pairs.filter(F.col("src_id") != F.col("err_id"))
+        .groupBy("err_id", "user_id", "err_ts")
+        .agg(
+            F.count("*").alias("n_prior"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_value_micros"),
+        )
+    )
+
+
+@register(
     "value_percentiles",
     """
 WITH o AS (
