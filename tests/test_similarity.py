@@ -57,6 +57,30 @@ def test_near_duplicate_threshold(spark, emb_with_twins):
     assert expected <= got
 
 
+def test_ivf_index_partition_pruning(spark, emb_with_twins, tmp_path):
+    """Materialized IVF: the index is written partitioned by cell, and a
+    query's probed-cell predicate reaches the scan as a partition
+    filter — only nprobe of the cell directories are read."""
+    path = str(tmp_path / "ivf")
+    base = emb_with_twins.filter(F.col("vec_id") < 8).collect()
+    cents = [(r.vec_id, [float(x) for x in r.embedding]) for r in base]
+    S.build_ivf_index(emb_with_twins, path, centroids=cents)
+
+    qrows = emb_with_twins.filter(F.col("vec_id") < 5).collect()
+    qs = [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows]
+    topk = S.query_ivf_index(spark, path, qs, cents, k=1, nprobe=4)
+    rows = {r.query_id: r for r in topk.collect()}
+    for q in range(5):
+        assert rows[q].neighbor_id == q + OFFSET  # twin shares its cell
+
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), f"cell predicate not pushed: {pf}"
+
+
 def test_kmeans_refined_ivf_keeps_recall(spark, emb_with_twins):
     """Lloyd's refinement produces k usable centroids, and IVF with the
     refined centroids still retrieves the injected twin as top-1 (the

@@ -433,6 +433,157 @@ def cosine_topk_ivf(
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the corpus written ONCE partitioned by
+    its assigned cell (``cell=<id>/`` parquet directories). This is the
+    one-time shuffle the in-memory :func:`cosine_topk_ivf` only talks
+    about — after it, every query reads ONLY its probed cells via
+    partition pruning (the scan's PartitionFilters, verified in
+    tests/test_similarity.py), i.e. nprobe/n_centroids of the data.
+
+    Cell assignment reuses the map-side argmax (one broadcast row of
+    centroids, no corpus shuffle besides the partitioned write itself).
+    """
+    import math  # noqa: PLC0415
+
+    spark = embeddings.sparkSession
+    if centroids is None:
+        cent_rows: list = sorted(
+            embeddings.filter(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect(),
+            key=lambda r: r[0],
+        )
+    else:
+        cent_rows = list(centroids)
+    cents_row = spark.createDataFrame(
+        [
+            (
+                [
+                    (int(r[0]), qc, sum(q * q for q in qc))
+                    for r in cent_rows
+                    for qc in [[int(math.floor(float(x) * QUANT)) for x in r[1]]]
+                ],
+            )
+        ],
+        "_cents array<struct<cent_id:bigint,qcvec:array<bigint>,cnormsq:bigint>>",
+    )
+    staged = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(F.col(vec_col), _q).alias("_qv"),
+    ).withColumn(
+        "_nv",
+        F.aggregate(
+            F.transform(F.col("_qv"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+    def cent_cos(c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col("_qv"), c["qcvec"], lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double") / F.sqrt(
+            F.col("_nv").cast("double") * c["cnormsq"].cast("double")
+        )
+
+    ordered = F.array_sort(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(cent_cos(c).alias("ccos"), c["cent_id"].alias("cent_id")),
+        ),
+        lambda a, b: F.when(a["ccos"] > b["ccos"], F.lit(-1))
+        .when(a["ccos"] < b["ccos"], F.lit(1))
+        .otherwise((a["cent_id"] - b["cent_id"]).cast("int")),
+    )
+    (
+        staged.crossJoin(F.broadcast(cents_row))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_nv").alias("cnorm"),
+            F.element_at(ordered, 1)["cent_id"].alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    query_vecs: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k cosine neighbors from a materialized IVF index: probe cells
+    are chosen driver-side from the (small) centroid list, so the cell
+    predicate reaches the scan as a PARTITION FILTER — only
+    nprobe/n_centroids of the index files are read. The scored candidate
+    set is |queries|·(probed cells), never the corpus."""
+    import math  # noqa: PLC0415
+
+    qcents = [
+        (cid, [int(math.floor(float(x) * QUANT)) for x in vec])
+        for cid, vec in centroids
+    ]
+
+    def probe_cells(qvec: list[float]) -> list[int]:
+        qq = [int(math.floor(float(x) * QUANT)) for x in qvec]
+        qn = sum(x * x for x in qq)
+        scored = []
+        for cid, cq in qcents:
+            dot = sum(a * b for a, b in zip(qq, cq))
+            cn = sum(x * x for x in cq)
+            scored.append((-(dot / math.sqrt(qn * cn)) if qn and cn else 0.0, cid))
+        return [cid for _, cid in sorted(scored)[:nprobe]]
+
+    rows = [
+        (int(qid), qvec, probe_cells(qvec))
+        for qid, qvec in query_vecs
+    ]
+    qdf = spark.createDataFrame(
+        [(qid, qvec, c) for qid, qvec, cells in rows for c in cells],
+        "query_id long, qvec array<float>, cell int",
+    )
+    index = spark.read.parquet(path)
+    cells_needed = sorted({c for _, _, cs in rows for c in cs})
+    cands = (
+        index.filter(F.col("cell").isin(cells_needed))
+        .join(F.broadcast(qdf), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            quantized_dot(F.col("qvec"), F.col("embedding")).cast("double")
+            / F.sqrt(
+                quantized_norm_sq(F.col("qvec")).cast("double")
+                * F.col("cnorm").cast("double")
+            )
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
+    )
+
+
 def allpairs_cosine_lsh(
     embeddings: DataFrame,
     bands: int = 4,
