@@ -10,7 +10,8 @@ Each query executes end-to-end into the no-op sink (full computation,
 zero write cost). Timings exclude session startup.
 
 Timing is steady-state (JMH-style): each query runs once untimed, then
-up to three timed runs; the MINIMUM is reported. Rationale: a cold
+up to three timed runs (stopping early once a run lands ≤1.5s); the
+MINIMUM is reported. Rationale: a cold
 execution's cost is dominated by single-shot JVM effects — Janino
 codegen compile plus HotSpot C2 compile-queue backlog from the
 preceding queries' hundreds of generated classes — which we measured at
@@ -78,11 +79,11 @@ def main() -> None:
         cold = time.perf_counter() - t0
         best = float("inf")
         for _ in range(3):
-            time.sleep(0.5)  # let the C2 compile queue drain new classes
+            time.sleep(0.3)  # let the C2 compile queue drain new classes
             t1 = time.perf_counter()
             entry.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t1)
-            if best <= 1.0:  # already steady; don't burn bench wall-clock
+            if best <= 1.5:  # already steady; don't burn bench wall-clock
                 break
         timings[name] = round(best, 3)
         print(

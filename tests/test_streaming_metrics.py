@@ -114,6 +114,33 @@ def test_running_totals_cross_batch_state(spark, sf_dir, event_stream_dir, tmp_p
     assert bad.count() == 0, bad.limit(5).collect()
 
 
+def test_session_window_stream_matches_batch(spark, sf_dir, event_stream_dir, tmp_path):
+    """ST6 deepened: streaming session_window sessions (closed by the
+    watermark, merged across micro-batches by the state store) agree
+    with the batch gap-sessionization on (user, start, end, count)."""
+    from tv_event_streaming_spark.operators.analytics import sessionize
+    from tv_event_streaming_spark.streaming.metrics import start_session_metrics
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_session_metrics(_read_stream(spark, event_stream_dir), sink, ckpt)
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert len(got) > 0, "no sessions closed before the stream drained"
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got <= batch, (
+        f"stream emitted sessions the batch twin disagrees with: "
+        f"{sorted(got - batch)[:3]}"
+    )
+
+
 def test_dedup_stream_cross_batch(spark, tmp_path):
     """Cross-micro-batch exact dedup with bounded state
     (dropDuplicatesWithinWatermark): a key redelivered in a LATER

@@ -57,6 +57,52 @@ def windowed_metrics(
     )
 
 
+def session_metrics(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``operators.analytics.sessionize`` — per-user
+    gap sessions via ``session_window`` (dynamic-gap windows merged by
+    the state store across micro-batches; a session closes, and is
+    emitted exactly once, when the watermark passes its end + gap).
+    State is bounded by (open sessions × users), executor-local."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+        )
+    )
+
+
+def start_session_metrics(
+    events_stream: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """Append-mode session sink: one row per closed session."""
+    out = session_metrics(events_stream, gap, watermark)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_windowed_metrics(
     events_stream: DataFrame,
     sink_dir: str,
