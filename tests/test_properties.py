@@ -17,6 +17,10 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from tv_event_streaming_spark.operators.preferences import apply_prefs_delta, prefs_delta
+from tv_event_streaming_spark.operators.temporal import (
+    asof_join_backward,
+    range_join_bucketed,
+)
 from tv_event_streaming_spark.operators.text import BPE_ISH_PATTERN, bpe_ish_token_count
 from tv_event_streaming_spark.schemas import USER_PREF_SCHEMA
 from tv_event_streaming_spark.sources.events import (
@@ -112,4 +116,95 @@ def test_bpe_token_count_matches_python_re(spark, texts):
         for r in df.select("i", bpe_ish_token_count(F.col("text")).alias("n")).collect()
     }
     want = {i: len(re.findall(BPE_ISH_PATTERN, t)) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),  # (key, ts-sec)
+        min_size=1,
+        max_size=15,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 10**6)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """asof_join_backward == the brute-force per-row argmax: for every
+    left row, the right row with max ts <= left ts (same key), largest
+    tiebreak id winning ties — on arbitrary key/ts collisions."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)],
+        "lid long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [
+            (rid, k, base + dt.timedelta(seconds=s))
+            for rid, (k, s, _) in enumerate(rights)
+        ],
+        "rid long, rk long, rts timestamp",
+    )
+    out = {
+        r.lid: r.rid
+        for r in asof_join_backward(
+            ldf, rdf, "k", "rk", "ts", "rts", value_cols=["rid"], tiebreak="rid"
+        ).collect()
+    }
+    for i, (k, s) in enumerate(lefts):
+        cands = [
+            rid
+            for rid, (rk, rs, _) in enumerate(rights)
+            if rk == k and rs <= s
+        ]
+        best = (
+            max(cands, key=lambda rid: (rights[rid][1], rid)) if cands else None
+        )
+        assert out[i] == best, (i, k, s, cands)
+
+
+@settings(**SETTINGS)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7200)),
+        min_size=1,
+        max_size=10,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7200)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_range_join_matches_bruteforce(spark, lefts, rights):
+    """range_join_bucketed == the brute-force (t-window, t] scan across
+    bucket boundaries and key collisions."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)],
+        "lid long, k long, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, base + dt.timedelta(seconds=s)) for j, (k, s) in enumerate(rights)],
+        "rid long, rk long, rts timestamp",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in range_join_bucketed(
+            ldf, rdf, "k", "rk", "lts", "rts", window_seconds=3600
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (lk, ls) in enumerate(lefts)
+        for j, (rk, rs) in enumerate(rights)
+        if lk == rk and ls - 3600 < rs <= ls
+    }
     assert got == want
