@@ -122,6 +122,71 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hash_split(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash — the
+    reproducible-at-scale alternative to RNG sampling (same row → same
+    split on any engine, any run, any partitioning; adding data never
+    reassigns existing rows). Group-stable by construction: anything
+    keyed by ``key_col`` (e.g. every chunk of a document) lands in the
+    same split, preventing train/eval leakage.
+
+    bucket = md5-slice hash of the key mod 100; val = [0, val_pct),
+    test = [val_pct, val_pct+test_pct), train = the rest. Pure map-side
+    projection, no shuffle, no RNG."""
+    from .dedup import portable_hash64  # noqa: PLC0415 (avoid module cycle)
+
+    bucket = F.pmod(portable_hash64(F.col(key_col).cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.withColumn("split", split)
+
+
+# Gopher-ish document-quality gates (length, word shape, symbol density):
+# each rule is a named boolean; the verdict is their conjunction.
+QUALITY_RULES = {
+    "len_ok": "n_tokens between 5 and 100000",
+    "token_len_ok": "mean token length in [2, 12]",
+    "punct_ok": "punctuation ratio < 0.3",
+    "stopword_ok": "stopword ratio > 0.02",
+}
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based keep/drop verdict per document (the C4/Gopher-style
+    curation gate): emits each rule's boolean plus the conjunction, so
+    downstream can both filter and report per-rule drop rates. One
+    map-side projection over the staged tokens — no shuffle."""
+    t = F.col(text_col)
+    staged = staged_tokens(docs, text_col)
+    ntok = F.size("_toks")
+    mean_len = F.length("_norm").cast("double") / ntok.cast("double")
+    punct = punct_count(t).cast("double") / F.length(t).cast("double")
+    stop = (
+        F.size(F.filter("_toks", lambda tok: tok.isin(*EN_STOPWORDS))).cast("double")
+        / ntok.cast("double")
+    )
+    len_ok = (ntok >= 5) & (ntok <= 100_000)
+    token_len_ok = (mean_len >= 2.0) & (mean_len <= 12.0)
+    punct_ok = punct < 0.3
+    stopword_ok = stop > 0.02
+    return staged.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        token_len_ok.alias("token_len_ok"),
+        punct_ok.alias("punct_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (len_ok & token_len_ok & punct_ok & stopword_ok).alias("keep"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 128,

@@ -34,6 +34,9 @@ _SW = "('" + "','".join(TX.EN_STOPWORDS) + "')"
 
 # int64 quantization of a float vector component (see similarity.QUANT)
 _Q = "CAST(FLOOR(CAST({x} AS DOUBLE)*1000000) AS BIGINT)"
+
+# portable_hash64 twin (dedup.portable_hash64): first 15 md5 hex chars → int64
+_PH = "CAST(concat('0x', substring(md5({x}),1,15)) AS BIGINT)"
 _DOT = (
     "CAST(list_sum(list_transform(list_zip({a},{b}), "
     f"p -> {_Q.format(x='p[1]')} * {_Q.format(x='p[2]')})) AS DOUBLE)"
@@ -181,6 +184,57 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_splits",
+    f"""
+SELECT doc_id,
+       CASE WHEN b < 10 THEN 'val'
+            WHEN b < 20 THEN 'test'
+            ELSE 'train' END AS split
+FROM (SELECT doc_id,
+             {_PH.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS b
+      FROM documents)
+""",
+    doc="Deterministic train/val/test split by key hash (md5-slice mod "
+    "100) — reproducible on any engine/run/partitioning, group-stable "
+    "(all chunks of a doc share its split), no RNG; pure map-side",
+    tags=("text", "sampling"),
+)
+def q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.hash_split(docs, val_pct=10, test_pct=10).select("doc_id", "split")
+
+
+@register(
+    "quality_filter",
+    f"""
+SELECT doc_id,
+       (len({_TOKS}) >= 5 AND len({_TOKS}) <= 100000) AS len_ok,
+       (CAST(length({_NORM}) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) >= 2.0
+        AND CAST(length({_NORM}) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) <= 12.0) AS token_len_ok,
+       (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) < 0.3) AS punct_ok,
+       (CAST(len(list_filter({_TOKS}, t -> t IN {_SW})) AS DOUBLE)
+        / CAST(len({_TOKS}) AS DOUBLE) > 0.02) AS stopword_ok,
+       ((len({_TOKS}) >= 5 AND len({_TOKS}) <= 100000)
+        AND (CAST(length({_NORM}) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) >= 2.0
+             AND CAST(length({_NORM}) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) <= 12.0)
+        AND (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) < 0.3)
+        AND (CAST(len(list_filter({_TOKS}, t -> t IN {_SW})) AS DOUBLE)
+             / CAST(len({_TOKS}) AS DOUBLE) > 0.02)) AS keep
+FROM documents
+""",
+    doc="C4/Gopher-style rule-based quality gate: per-rule booleans "
+    "(length, mean token length, punctuation density, stopword density) "
+    "plus the conjunction verdict — filter AND per-rule drop-rate "
+    "reporting from one map-side projection",
+    tags=("text", "filter"),
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_chunks",
     f"""
 WITH st AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -300,9 +354,6 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_dedup.py); the catalog entries run portable=True so the
 # FULL pipeline — shingling, seeded min-hashing, banding, candidate
 # join, exact verify — is oracle-checked end-to-end.
-
-# portable_hash64 twin (dedup.portable_hash64): first 15 md5 hex chars → int64
-_PH = "CAST(concat('0x', substring(md5({x}),1,15)) AS BIGINT)"
 
 # distinct 3-gram shingles, docs with ≥3 tokens (same CTE the ngram oracle uses)
 _SH_CTE = f"""sh AS (
