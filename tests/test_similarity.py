@@ -57,6 +57,23 @@ def test_near_duplicate_threshold(spark, emb_with_twins):
     assert expected <= got
 
 
+def test_vectorized_signatures_match_jvm_form(spark, emb_with_twins):
+    """The Arrow-vectorized signature (int64 matmul per batch) and the
+    JVM expression form compute identical buckets bit-for-bit — the
+    equivalence every LSH oracle relies on."""
+    sig_udf = S.banded_signatures_vectorized(dims=64, bands=2, bits_per_band=8)
+    both = emb_with_twins.select(
+        "vec_id",
+        sig_udf(F.col("embedding")).alias("vec_sig"),
+        F.array(
+            S.hyperplane_signature(F.col("embedding"), 64, 8, plane_offset=0),
+            S.hyperplane_signature(F.col("embedding"), 64, 8, plane_offset=8),
+        ).alias("jvm_sig"),
+    )
+    bad = both.filter(F.col("vec_sig") != F.col("jvm_sig"))
+    assert bad.count() == 0, bad.limit(3).collect()
+
+
 def test_ivf_index_partition_pruning(spark, emb_with_twins, tmp_path):
     """Materialized IVF: the index is written partitioned by cell, and a
     query's probed-cell predicate reaches the scan as a partition
