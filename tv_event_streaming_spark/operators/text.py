@@ -149,6 +149,32 @@ def hash_split(
     return docs.withColumn("split", split)
 
 
+# PII patterns — pure-ASCII character classes so Java regex (Spark) and
+# RE2 (DuckDB) agree byte-for-byte.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_PATTERN = "https?://[^ \\t\\n]+"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Curation-time PII scrub: mask emails and URLs, and report how
+    many of each were removed per document (audit trail). One map-side
+    projection — regex count first, then two sequential replaces."""
+    t = F.col(text_col)
+
+    def n_matches(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_PATTERN, "[EMAIL]"), URL_PATTERN, "[URL]"
+    )
+    return docs.select(
+        "doc_id",
+        n_matches(EMAIL_PATTERN).alias("n_emails"),
+        n_matches(URL_PATTERN).alias("n_urls"),
+        redacted.alias("clean_text"),
+    )
+
+
 # Gopher-ish document-quality gates (length, word shape, symbol density):
 # each rule is a named boolean; the verdict is their conjunction.
 QUALITY_RULES = {

@@ -235,6 +235,43 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "redact_pii",
+    f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or https://ex.org/d/' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TX.EMAIL_PATTERN}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{TX.URL_PATTERN}')) AS INTEGER) AS n_urls,
+       regexp_replace(regexp_replace(text, '{TX.EMAIL_PATTERN}', '[EMAIL]', 'g'),
+                      '{TX.URL_PATTERN}', '[URL]', 'g') AS clean_text
+FROM dirty
+""",
+    doc="Curation-time PII scrub: mask emails/URLs with per-doc removal "
+    "counts (audit trail); exercised over deterministically injected "
+    "PII so the replacement paths actually fire. Pure-ASCII patterns ⇒ "
+    "Java regex and RE2 agree byte-for-byte",
+    tags=("text", "filter"),
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return TX.redact_pii(dirty)
+
+
+@register(
     "doc_chunks",
     f"""
 WITH st AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
