@@ -78,7 +78,10 @@ def main() -> None:
         entry.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold = time.perf_counter() - t0
         best = float("inf")
-        for _ in range(3):
+        # heavy entries (iterative algorithms) get one timed run; the
+        # cold run already served as their warmup
+        attempts = 1 if cold > 10.0 else 3
+        for _ in range(attempts):
             time.sleep(0.3)  # let the C2 compile queue drain new classes
             t1 = time.perf_counter()
             entry.build(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -548,6 +548,45 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "neardup_clusters",
+    f"""
+WITH RECURSIVE {_simhash_sig_cte()},
+q AS (
+  SELECT doc_id, simhash, t.q, (simhash >> (t.q * 16)) & 65535 AS quarter
+  FROM sig, (VALUES (0), (1), (2), (3)) t(q)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM q a JOIN q b ON a.q = b.q AND a.quarter = b.quarter AND a.doc_id < b.doc_id
+),
+p AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 8),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+""",
+    doc="Terminal dedup: near-dup pairs (SimHash, portable) resolved to "
+    "connected components; cluster_id = min reachable doc id (unique "
+    "fixpoint ⇒ engine-independent). Spark side is iterative min-label "
+    "propagation (join+groupBy per round, O(diameter) rounds); oracle "
+    "is the recursive-CTE transitive closure",
+    tags=("dedup", "iterative"),
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_pairs(
+        D.simhash_signatures(docs, portable=True), max_hamming=8
+    )
+    return D.neardup_clusters(docs, pairs)
+
+
 def _lsh_bucket_sql(
     dims: int = 64, bits: int = 8, vec: str = "embedding", plane_offset: int = 0
 ) -> str:
