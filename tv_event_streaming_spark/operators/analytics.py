@@ -121,6 +121,43 @@ def value_percentiles(
     )
 
 
+def funnel_stages(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered funnel per user: the first ``steps[0]`` event, then the
+    first ``steps[1]`` at-or-after it, then the first ``steps[2]``
+    at-or-after that — the classic conversion-funnel query. One small
+    aggregation per step (each keyed on user_id, so the per-step joins
+    co-partition and AQE broadcasts the shrinking step frames); no
+    windows over the full event stream."""
+    first, *rest = steps
+    cur = (
+        events.filter(F.col("event_type") == first)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias(f"{first}_ts"))
+    )
+    out = cur
+    prev_col = f"{first}_ts"
+    for step in rest:
+        nxt = (
+            events.filter(F.col("event_type") == step)
+            .join(out.select("user_id", prev_col), "user_id")
+            .filter(F.col("ts") >= F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"{step}_ts"))
+        )
+        out = out.join(nxt, "user_id", "left")
+        prev_col = f"{step}_ts"
+    stages = F.lit(1)
+    for step in rest:
+        stages = stages + F.when(F.col(f"{step}_ts").isNotNull(), 1).otherwise(0)
+    return out.select(
+        "user_id",
+        *[F.col(f"{s}_ts") for s in steps],
+        stages.cast("int").alias("stages_completed"),
+    )
+
+
 def latest_event_per_user(events: DataFrame) -> DataFrame:
     """W1 — latest-by-group: most recent event per user
     (admin_lambda.py:166-177's latest-log-stream). row_number over a

@@ -694,6 +694,40 @@ def q_events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_stages",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.view_ts
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.click_ts
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+       CAST(1 + CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END
+            AS INTEGER) AS stages_completed
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+""",
+    doc="Ordered conversion funnel per user (first view → first click at/"
+    "after it → first purchase at/after that): one small keyed "
+    "aggregation per step, co-partitioned joins, no full-stream windows",
+    tags=("funnel", "agg", "join"),
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.funnel_stages(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "value_percentiles",
     """
 WITH o AS (
