@@ -16,6 +16,25 @@ from tv_event_streaming_spark.plans import CATALOG
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Entries the round-2 driver never reached (its check stopped at 50 of
+# 56; these were the last 6 in registration order, three with a round-1
+# failure history). They go FIRST so a bounded check budget always
+# covers the highest-risk entries; the rest follow in registration
+# order.
+_CHECK_FIRST = (
+    "simhash_signatures",
+    "simhash_neardup",
+    "neardup_clusters",
+    "ann_cosine_lsh",
+    "embedding_neardup_topk",
+    "multimodal_features",
+)
+
+
+def _ordered_names() -> list[str]:
+    first = [n for n in _CHECK_FIRST if n in CATALOG]
+    return first + [n for n in CATALOG if n not in _CHECK_FIRST]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -24,9 +43,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: e.build for name, e in CATALOG.items()}
+    return {n: CATALOG[n].build for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible entry."""
-    return {name: e.oracle for name, e in CATALOG.items() if e.oracle is not None}
+    return {
+        n: CATALOG[n].oracle
+        for n in _ordered_names()
+        if CATALOG[n].oracle is not None
+    }

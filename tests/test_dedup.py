@@ -71,3 +71,50 @@ def test_ngram_jaccard_exactness(spark, docs_with_dups):
     # appended-tail near-dups: high but strictly sub-1.0 jaccard
     assert len(near) == 100
     assert all(0.5 < r.jaccard < 1.0 for r in near)
+
+
+def test_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    """Recall evidence for the PRODUCTION hash path (xxhash64, not the
+    portable oracle hash): LSH candidate generation must recover ≥ 90%
+    of the truly-similar pairs (exact 3-gram Jaccard ≥ 0.8) on a corpus
+    with injected near-duplicates. 32 hashes / 8 bands / r=4 ⇒ a pair at
+    s=0.8 collides with p = 1-(1-0.8^4)^8 ≈ 0.985."""
+    docs = load_table(spark, sf_dir, "documents").limit(200).cache()
+    near = docs.select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail pad")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionAll(near).cache()
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(corpus)
+        .filter(F.col("jaccard") >= 0.8)
+        .collect()
+    }
+    assert len(exact) >= 100  # the injected pairs are present
+
+    sigs = D.minhash_signatures(corpus, num_hashes=32)  # xxhash64 default
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_candidates(sigs, bands=8, rows_per_band=4).collect()
+    }
+    recall = len(exact & cands) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9"
+
+
+def test_neardup_clusters_chain_and_nonconvergence(spark):
+    """Min-label propagation resolves a 40-node path into one component
+    (pointer jump ⇒ well under the round budget), and a too-small
+    max_iters raises instead of returning non-fixpoint labels."""
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(39).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    out = D.neardup_clusters(docs, pairs)
+    assert {r.cluster_id for r in out.collect()} == {0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.neardup_clusters(docs, pairs, max_iters=2)

@@ -40,3 +40,39 @@ def test_media_type_partitioning(spark, sf_dir):
     meta = M.media_metadata(M.attach_binary_payload(docs))
     counts = {r.media_type: r["count"] for r in meta.groupBy("media_type").count().collect()}
     assert set(counts) == {"image", "audio", "video"}
+
+
+def test_decoder_registry_roundtrip(spark, sf_dir):
+    """A real decoder is one register_decoder call away: inject a toy
+    struct-unpack decoder and round-trip features through the identical
+    Arrow/mapInPandas plumbing the stub documents."""
+
+    def toy_decoder(payload: bytes, media_type: str):
+        # "format": first byte = frame count, mean over remaining bytes
+        if not payload:
+            return 0, 0.0
+        n_frames = payload[0]
+        rest = payload[1:]
+        return n_frames, (sum(rest) / len(rest)) if rest else 0.0
+
+    M.register_decoder("toy", toy_decoder)
+    try:
+        docs = load_table(spark, sf_dir, "documents").limit(20)
+        media = M.attach_binary_payload(docs)
+        feats = {
+            r.doc_id: r
+            for r in M.extract_features(media, fake=False, decoder="toy").collect()
+        }
+        for r in docs.collect():
+            payload = r.text.encode("utf-8")
+            want_frames, want_mean = toy_decoder(payload, "")
+            f = feats[r.doc_id]
+            assert f.fake_frames == want_frames
+            assert abs(f.fake_mean_byte - want_mean) < 1e-9
+            # metadata columns unchanged by the decoder path
+            assert f.byte_size == len(payload)
+    finally:
+        M._DECODERS.pop("toy", None)
+
+    with pytest.raises(KeyError):
+        M.get_decoder("not-registered")

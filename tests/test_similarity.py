@@ -119,3 +119,80 @@ def test_kmeans_refined_ivf_keeps_recall(spark, emb_with_twins):
     rows = {r.query_id: r for r in topk.collect()}
     for q in range(5):
         assert rows[q].neighbor_id == q + OFFSET
+
+
+def test_hot_bucket_guard_degenerate_corpus(spark):
+    """1000 identical vectors all land in ONE (band,bucket) — the guard
+    must sub-split so no task scores the full corpus² matmul, and the
+    block-pair decomposition must still emit every pair exactly once."""
+    n = 1000
+    base = [0.3, -0.2, 0.9, 0.05] * 16  # dims=64
+    rows = [(i, base) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = S.allpairs_cosine_lsh(
+        emb, bands=2, bits_per_band=4, max_bucket_size=100
+    )
+    got = pairs.collect()
+    assert len(got) == n * (n - 1) // 2  # every a<b pair, exactly once
+    assert all(abs(r.cos_sim - 1.0) < 1e-12 for r in got)
+
+
+def test_hot_bucket_guard_matches_unguarded(spark, emb_with_twins):
+    """Sub-splitting must not change WHICH pairs are emitted or their
+    scores: guarded (tiny cap ⇒ many blocks) equals unguarded output."""
+    unguarded = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.allpairs_cosine_lsh(emb_with_twins, max_bucket_size=1 << 20).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.allpairs_cosine_lsh(emb_with_twins, max_bucket_size=8).collect()
+    }
+    assert guarded == unguarded
+
+
+def test_exact_allpairs_is_bruteforce_complete(spark, emb_with_twins):
+    """allpairs_cosine_exact = 100% recall baseline: every a<b pair at or
+    above threshold, bit-identical scores to the quantized contract."""
+    thr = 0.99
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.allpairs_cosine_exact(
+            emb_with_twins, threshold=thr, max_block_size=16
+        ).collect()
+    }
+    # brute-force oracle via the scored topk path (k = corpus size)
+    nrows = emb_with_twins.count()
+    bf = S.cosine_topk_bruteforce(
+        emb_with_twins, F.lit(True), k=nrows
+    ).filter(F.col("cos_sim") >= thr)
+    want = {
+        (min(r.query_id, r.neighbor_id), max(r.query_id, r.neighbor_id)): r.cos_sim
+        for r in bf.collect()
+    }
+    assert set(exact) == set(want)
+    for k2, v in want.items():
+        assert abs(exact[k2] - v) < 1e-12
+    # the LSH-approximate path is a subset; exact=True recovers everything
+    approx = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_duplicates(emb_with_twins, threshold=thr).collect()
+    }
+    assert approx <= set(want)
+    full = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_duplicates(
+            emb_with_twins, threshold=thr, exact=True
+        ).collect()
+    }
+    assert full == set(want)
+
+
+def test_kmeans_guards(spark, emb_with_twins):
+    """Seeding requires ids 0..k-1; a missing seed raises instead of
+    silently mis-assigning."""
+    import pytest as _pytest
+
+    only_high = emb_with_twins.filter(F.col("vec_id") >= 4)
+    with _pytest.raises(ValueError, match="seed"):
+        S.kmeans_centroids(only_high, k=8, iters=1)

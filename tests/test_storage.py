@@ -139,3 +139,27 @@ def test_crash_restart_from_checkpoint(spark, tmp_path):
     )
     q3.awaitTermination(120)
     assert table.current_version() == 1
+
+
+def test_delete_and_update_of_nonexistent_keys(spark, tmp_path):
+    """The reference's preference-removal path tolerates removing a key
+    that isn't there (preferences.py:153-161 — DynamoDB DeleteItem is a
+    no-op on absent keys). An empty change journal must yield counts of
+    0, not a TypeError from NULL observation sums."""
+    root = str(tmp_path / "t")
+    table = KeyedTable(spark, root, ["k"], KV_SCHEMA, n_buckets=4)
+    table.upsert(_kv(spark, [(1, "a"), (2, "b")]))
+
+    r = table.delete(_kv(spark, [(99, "x"), (100, "x")]).select("k"))
+    assert r["deletes"] == 0
+    assert table.read().count() == 2
+
+    r2 = table.update_fields(_kv(spark, [(99, "nope")]), ["v"])
+    assert r2["modifies"] == 0
+    got = {row.k: row.v for row in table.read().collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # delete on a still-empty table (no versions at all) also returns 0
+    empty = KeyedTable(spark, str(tmp_path / "e"), ["k"], KV_SCHEMA, n_buckets=4)
+    r3 = empty.delete(_kv(spark, [(1, "x")]).select("k"))
+    assert r3["deletes"] == 0

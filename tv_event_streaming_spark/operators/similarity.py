@@ -251,6 +251,11 @@ def kmeans_centroids(
         embeddings.filter(F.col(id_col) < k).select(id_col, vec_col).collect(),
         key=lambda r: r[0],
     )
+    if len(seeds) != k:
+        raise ValueError(
+            f"k-means seeding expects ids 0..{k - 1} to exist; "
+            f"found {len(seeds)} seed vectors"
+        )
     cents: list[list[float]] = [[float(x) for x in r[1]] for r in seeds]
     dims = len(cents[0])
 
@@ -275,7 +280,13 @@ def kmeans_centroids(
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
-            return dot / c["cnorm"]  # |v| is constant per row: argmax-safe
+            # |v| is constant per row ⇒ dot/|c| is argmax-equivalent to
+            # cosine. A zero-norm centroid would make this NULL/NaN and
+            # break array_max/array_position (silent cell -1) — score it
+            # -inf so no row ever assigns to it.
+            return F.when(c["cnorm"] > 0, dot / c["cnorm"]).otherwise(
+                F.lit(float("-inf"))
+            )
 
         # argmax via array_position(max): first match ⇒ lowest cent_id
         # tie-break, and cent_id IS the enumeration index
@@ -592,6 +603,7 @@ def allpairs_cosine_lsh(
     threshold: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 2048,
 ) -> DataFrame:
     """All-pairs cosine over LSH candidates — fully distributed, no
     driver-side collect and no global broadcast.
@@ -601,16 +613,26 @@ def allpairs_cosine_lsh(
     are candidates iff they share at least one band's bucket. Scoring is
     a per-bucket int64 block matmul inside ``applyInPandas`` — one
     vectorized multiply per (band, bucket) group instead of millions of
-    interpreted per-pair expressions, and the group is the ONLY unit that
-    must fit in worker memory (bucket size, not corpus size). A pair
-    sharing several bands is scored identically in each (exact integer
-    arithmetic ⇒ bit-identical doubles), so the final ``distinct`` keeps
-    one row.
+    interpreted per-pair expressions. A pair sharing several bands is
+    scored identically in each (exact integer arithmetic ⇒ bit-identical
+    doubles), so the final ``distinct`` keeps one row.
 
-    Shuffle profile: one hash-partition of (corpus × bands) rows on
-    (band, bucket) + one distinct on emitted pairs — both linear in
-    candidates, never O(N²). Skewed (hot) buckets split across more
-    bands/bits; at 100 TB raise ``bits_per_band`` so buckets stay small.
+    **Hot-bucket guard**: a degenerate bucket (many near-identical
+    vectors — e.g. a corpus of exact copies all landing in one bucket)
+    would make one task O(bucket²). Buckets larger than
+    ``max_bucket_size`` are sub-split into ``ceil(size/cap)`` blocks by a
+    row-hash; each block PAIR (i ≤ j) becomes its own group, scoring
+    block-i×block-j only. Total work is still O(bucket²) — the pairs
+    exist — but the memory/latency unit degrades gracefully to
+    O(cap²) per task, spread across (nblocks·(nblocks+1))/2 parallel
+    tasks instead of one. Normal-size buckets take the nblocks=1 path:
+    one (0,0) group, zero extra rows.
+
+    Shuffle profile: one tiny bucket-size aggregation (≤ bands·2^bits
+    rows, broadcast back), one hash-partition of (corpus × bands) rows on
+    (band, bucket, block-pair) + one distinct on emitted pairs — linear
+    in candidates, never O(N²) rows. At 100 TB raise ``bits_per_band`` so
+    buckets stay small; the guard is the backstop, not the plan.
 
     Exactness contract (matches the DuckDB oracle bit-for-bit): component
     quantization floor(double(x)·1e6) → int64, exact integer dot/norm,
@@ -618,8 +640,8 @@ def allpairs_cosine_lsh(
     """
     # Explicit repartitions (not left to AQE) for the two CPU-heavy
     # stages: signature computation parallelizes even from a single
-    # unsplittable row group, and the per-(band,bucket) scorer keeps one
-    # task per core — AQE would coalesce these tiny-byte exchanges into
+    # unsplittable row group, and the per-group scorer keeps one task
+    # per core — AQE would coalesce these tiny-byte exchanges into
     # 1-2 partitions and serialize thousands of group calls.
     n_par = embeddings.sparkSession.sparkContext.defaultParallelism
     sig_udf = banded_signatures_vectorized(dims, bands, bits_per_band)
@@ -632,11 +654,56 @@ def allpairs_cosine_lsh(
         id_col,
         vec_col,
         F.posexplode("_buckets").alias("band", "bucket"),
-    ).repartition(n_par, "band", "bucket")
+    ).persist()  # census + blocked both read it: signature UDF runs once
+    # bucket census: ≤ bands·2^bits_per_band rows — broadcast it back
+    sizes = exploded.groupBy("band", "bucket").agg(F.count("*").alias("_cnt"))
+    nblocks = F.ceil(F.col("_cnt") / F.lit(max_bucket_size)).cast("int")
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int")
+    blocked = (
+        exploded.join(F.broadcast(sizes), ["band", "bucket"])
+        .withColumn("_nb", nblocks)
+        .withColumn("_blk", blk)
+        .select(
+            id_col,
+            vec_col,
+            "band",
+            "bucket",
+            "_blk",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("_nb") - 1),
+                        lambda x: F.struct(
+                            F.least(x, F.col("_blk")).alias("gi"),
+                            F.greatest(x, F.col("_blk")).alias("gj"),
+                        ),
+                    )
+                )
+            ).alias("_g"),
+        )
+        .select(
+            id_col, vec_col, "band", "bucket", "_blk",
+            F.col("_g.gi").alias("_gi"), F.col("_g.gj").alias("_gj"),
+        )
+        .repartition(n_par, "band", "bucket", "_gi", "_gj")
+    )
 
-    quant = QUANT
-    thr = threshold
-    idc, vecc = id_col, vec_col
+    score_group = _make_block_scorer(id_col, vec_col, QUANT, threshold)
+    pairs = blocked.groupBy("band", "bucket", "_gi", "_gj").applyInPandas(
+        score_group, schema="id_a bigint, id_b bigint, cos_sim double"
+    )
+    return pairs.distinct()
+
+
+def _make_block_scorer(idc: str, vecc: str, quant: int, thr: float | None):
+    """Per-group exact block-matmul pair scorer for ``applyInPandas``.
+
+    Expects ``_gi``/``_gj`` (block-pair group keys) and ``_blk`` (the
+    row's block) columns. Scores a<b pairs; in a cross-block group
+    (gi != gj) only pairs whose blocks differ — within-block pairs belong
+    to the (b,b) groups, so each pair is scored exactly once per bucket.
+    The closure is self-contained (numpy/pandas only): safe to pickle by
+    value into sessions that can't import this package on workers."""
 
     def score_group(pdf):
         import numpy as _np  # noqa: PLC0415
@@ -651,17 +718,72 @@ def allpairs_cosine_lsh(
         cos = dots.astype(_np.float64) / _np.sqrt(
             norms.astype(_np.float64)[:, None] * norms.astype(_np.float64)[None, :]
         )
-        lo = ids[:, None] < ids[None, :]  # a < b, no self-pairs
-        mask = lo if thr is None else (lo & (cos >= thr))
+        mask = ids[:, None] < ids[None, :]  # a < b, no self-pairs
+        if pdf["_gi"].iat[0] != pdf["_gj"].iat[0]:
+            blks = pdf["_blk"].to_numpy()
+            mask &= blks[:, None] != blks[None, :]
+        if thr is not None:
+            mask &= cos >= thr
         ai, bi = _np.nonzero(mask)
         return _pd.DataFrame(
             {"id_a": ids[ai], "id_b": ids[bi], "cos_sim": cos[ai, bi]}
         )
 
-    pairs = exploded.groupBy("band", "bucket").applyInPandas(
-        score_group, schema="id_a bigint, id_b bigint, cos_sim double"
+    return score_group
+
+
+def allpairs_cosine_exact(
+    embeddings: DataFrame,
+    threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_size: int = 2048,
+) -> DataFrame:
+    """EXACT distributed all-pairs cosine — O(N²) work by construction,
+    but never O(N²) in one task: the corpus is split into
+    ``ceil(N/max_block_size)`` hash blocks and every block PAIR (i ≤ j)
+    is scored as its own bounded int64 matmul group (O(cap²) memory per
+    task, (nb·(nb+1))/2 tasks). Use as the recall baseline for the LSH
+    paths, or when 100% recall is required on a corpus small enough to
+    afford N²."""
+    n = embeddings.count()
+    nb = max(1, -(-n // max_block_size))
+    blocked = (
+        embeddings.select(
+            id_col,
+            vec_col,
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("_blk"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            "_blk",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.least(F.lit(x), F.col("_blk")).alias("gi"),
+                                F.greatest(F.lit(x), F.col("_blk")).alias("gj"),
+                            )
+                            for x in range(nb)
+                        ]
+                    )
+                )
+            ).alias("_g"),
+        )
+        .select(
+            id_col, vec_col, "_blk",
+            F.col("_g.gi").alias("_gi"), F.col("_g.gj").alias("_gj"),
+        )
     )
-    return pairs.distinct()
+    n_par = embeddings.sparkSession.sparkContext.defaultParallelism
+    score_group = _make_block_scorer(id_col, vec_col, QUANT, threshold)
+    return (
+        blocked.repartition(n_par, "_gi", "_gj")
+        .groupBy("_gi", "_gj")
+        .applyInPandas(score_group, schema="id_a bigint, id_b bigint, cos_sim double")
+    )
 
 
 def embedding_near_duplicates(
@@ -672,14 +794,25 @@ def embedding_near_duplicates(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ threshold, a<b) over LSH
-    candidates — the threshold form of :func:`allpairs_cosine_lsh`.
+    """Embedding-cosine near-dup pairs (cos ≥ threshold, a<b).
 
-    Near-identical vectors agree on every signature bit (a scaled or
-    lightly-perturbed copy flips no hyperplane sign), so recall at
-    near-dup thresholds is governed by the OR-construction across
-    ``bands`` disjoint plane sets. No O(N²) path: candidates only."""
+    Default path is LSH-APPROXIMATE (the threshold form of
+    :func:`allpairs_cosine_lsh`): a pair is found only if it shares at
+    least one of ``bands`` hyperplane-signature buckets. Recall is
+    probabilistic — for a pair at angle θ the per-plane agreement is
+    1−θ/π, so P(found) = 1−(1−(1−θ/π)^bits_per_band)^bands; borderline
+    pairs (cos near the threshold, some plane dot near zero) CAN be
+    missed. Exactly-identical/scaled copies flip no sign and are always
+    found. Tune bands/bits for the recall you need, or pass
+    ``exact=True`` to delegate to :func:`allpairs_cosine_exact` —
+    100% recall at O(N²) work (still task-bounded), for small corpora
+    or recall audits."""
+    if exact:
+        return allpairs_cosine_exact(
+            embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
     return allpairs_cosine_lsh(
         embeddings,
         bands=bands,

@@ -460,6 +460,79 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_metrics_batch",
+    """
+WITH numbered AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, session_id
+""",
+    doc="ST6 batch twin — the EXACT session_window plan from "
+    "streaming.metrics.session_metrics run in batch mode (session_window "
+    "is batch-capable; the watermark is a no-op), so the driver's hash "
+    "check covers the streaming operator's session-merge arithmetic. "
+    "Oracle is gaps-and-islands with Spark's merge rule: a new session "
+    "starts when the gap is >= 30 min (windows are half-open)",
+    tags=("window", "sessionization", "streaming-twin"),
+)
+def q_session_metrics_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.metrics import session_metrics  # noqa: PLC0415
+
+    return session_metrics(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "running_totals_batch",
+    """
+SELECT user_id, event_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_events,
+       CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         AS total_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    doc="ST7 batch twin — per-user running (event count, value sum) as a "
+    "window cumsum, the batch shape of streaming.metrics."
+    "running_user_totals (applyInPandasWithState): identical count + "
+    "coalesce-to-0 sum arithmetic, exact DECIMAL accumulation, so the "
+    "driver's hash check covers the stateful operator's math; the final "
+    "row per user equals the operator's converged state",
+    tags=("window", "cumsum", "streaming-twin"),
+)
+def q_running_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count("*").over(w).alias("n_events"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@register(
     "tail_events",
     """
 SELECT event_id, ts, user_id, event_type, value FROM events

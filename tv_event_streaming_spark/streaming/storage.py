@@ -166,8 +166,12 @@ class KeyedTable:
                 manifest.pop(b, None)  # bucket emptied (all rows deleted)
         self._write_manifest(v, manifest)
         self._flip(v)
+        # Observation sums are NULL (None) when the change journal is
+        # empty — e.g. delete() of keys absent from the table, or
+        # update_fields() where no update key exists (the reference's
+        # preference-removal path tolerates removing a non-existent key).
         got = obs.get
-        return {"version": v, **{k: int(got[k]) for k in keys if k in got}}
+        return {"version": v, **{k: int(got[k] or 0) for k in keys if k in got}}
 
     @staticmethod
     def _observed(changes: DataFrame, obs: Observation) -> DataFrame:
