@@ -1,0 +1,72 @@
+"""Semantic tests for curation operators the oracle check can't see:
+sampling monotonicity/determinism and decontamination recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tv_event_streaming_spark.domain import load_table
+from tv_event_streaming_spark.operators import dedup as D
+from tv_event_streaming_spark.operators import text as TX
+
+
+def test_stratified_sample_deterministic_and_monotone(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 2 == 0).cast("string").alias("stratum")
+    )
+    lo = TX.stratified_sample(docs, "stratum", {"true": 0.3, "false": 0.3})
+    hi = TX.stratified_sample(docs, "stratum", {"true": 0.6, "false": 0.6})
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    # deterministic: same call, same rows
+    assert lo_ids == {r.doc_id for r in lo.collect()}
+    # monotone: raising the rate only ADDS rows
+    assert lo_ids <= hi_ids
+    # rate is approximately honored (hash uniformity; generous bounds)
+    n = docs.count()
+    assert 0.15 * n < len(lo_ids) < 0.45 * n
+    assert 0.45 * n < len(hi_ids) < 0.75 * n
+    # an unlisted stratum defaults to rate 0
+    none = TX.stratified_sample(docs, "stratum", {"true": 0.5})
+    assert all(r.stratum == "true" for r in none.collect())
+    # a different salt draws a (near-certainly) different sample
+    other = TX.stratified_sample(
+        docs, "stratum", {"true": 0.3, "false": 0.3}, salt="other"
+    )
+    assert {r.doc_id for r in other.collect()} != lo_ids
+
+
+def test_decontaminate_flags_eval_overlap(spark, sf_dir):
+    """Docs sharing n-grams with the eval set are flagged (including the
+    eval members themselves — they live in the corpus); disjoint docs
+    are not. Production xxhash64 path."""
+    docs = load_table(spark, sf_dir, "documents").limit(50).cache()
+    ev = docs.filter(F.col("doc_id") < 5)
+    hits = D.decontaminate(docs, ev, n=3)
+    flagged = {r.doc_id for r in hits.collect()}
+    assert set(range(5)) <= flagged  # eval members always collide fully
+    # a synthetic doc with no token overlap must NOT be flagged
+    clean = spark.createDataFrame(
+        [(999_999, "zzz qqq xxx yyy www vvv uuu")], "doc_id long, text string"
+    )
+    corpus = docs.select("doc_id", "text").unionAll(clean)
+    hits2 = {r.doc_id for r in D.decontaminate(corpus, ev, n=3).collect()}
+    assert 999_999 not in hits2
+
+
+def test_top_terms_ranking(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana cherry"),
+            (2, "banana banana cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df)
+        for r in TX.top_terms(docs, k=2).collect()
+    }
+    assert out[(1, 1)] == ("apple", 3, 1)  # highest tf wins
+    # doc 2: banana and cherry tie at tf=2, df=2 — term asc breaks it
+    assert out[(2, 1)] == ("banana", 2, 2)
+    assert out[(2, 2)] == ("cherry", 2, 2)

@@ -479,3 +479,40 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 8) -> DataFrame
         "doc_b",
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene step every
+    LLM pipeline runs before training: flag (for removal) any training
+    document sharing at least one word ``n``-gram with the evaluation
+    set. Standard practice uses 8-13-gram overlap; pass smaller ``n``
+    for short-document corpora.
+
+    Scale shape: the EVAL side is tiny (benchmarks are thousands of
+    rows) — its distinct hashed shingles broadcast; the corpus side is
+    one map-side shingle explode + broadcast semi-join + groupBy(doc) —
+    the 100 TB table is never shuffled except for the per-doc hit
+    count. Returns (doc_id, n_hits) for contaminated docs only;
+    anti-join the result against the corpus to clean it."""
+    base = (
+        (lambda c: portable_hash64(c)) if portable else (lambda c: F.xxhash64(c))
+    )
+    ev = (
+        _shingles(eval_docs, text_col, n)
+        .select(base(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+    sh = _shingles(docs, text_col, n).select(
+        "doc_id", base(F.col("shingle")).alias("sh")
+    )
+    return (
+        sh.join(F.broadcast(ev), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )

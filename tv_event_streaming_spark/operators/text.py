@@ -264,3 +264,65 @@ def word_ngrams_from(toks: Column, n: int = 3) -> Column:
             F.array().cast("array<string>")
         )
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing primitive of
+    a training pipeline (e.g. keep 100% of books, 30% of web, 5% of
+    boilerplate). Row kept iff
+    ``hash(salt:key) mod 1e6 < rate(stratum)·1e6`` with the md5-slice
+    :func:`tv_event_streaming_spark.operators.dedup.portable_hash64` —
+    reproducible on any engine/run/partitioning (no RNG), monotone in
+    the rate (raising a stratum's rate only ADDS rows, never swaps
+    them), and pure map-side: no shuffle at any scale. Changing ``salt``
+    draws an independent sample."""
+    from .dedup import portable_hash64  # noqa: PLC0415 (avoid module cycle)
+
+    bucket = F.pmod(
+        portable_hash64(
+            F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+        ),
+        F.lit(1_000_000),
+    )
+    rate = F.lit(default_rate)
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == s, F.lit(r)).otherwise(rate)
+    return docs.filter(bucket < (rate * 1_000_000).cast("long"))
+
+
+def top_terms(
+    docs: DataFrame, k: int = 5, text_col: str = "text", max_df: int | None = None
+) -> DataFrame:
+    """Per-document top-k characteristic terms: rank by term frequency
+    (desc), breaking ties by document frequency (asc — rarer corpus-wide
+    wins, the tf-idf ordering) then term. All-integer ranking — no float
+    idf, so the output is bit-identical on any engine. ``max_df`` drops
+    corpus-dominant terms entirely (the integer analogue of an idf
+    floor). Shape: one explode + two hash aggregations + one per-doc
+    window — the groupBys partial-aggregate map-side; nothing is
+    quadratic."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    toks = staged_tokens(docs, text_col).select(
+        "doc_id", F.explode("_toks").alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        df = df.filter(F.col("df") <= max_df)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df")
+    )

@@ -682,6 +682,133 @@ def q_embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate",
+    f"""
+WITH {_SH_CTE},
+hashed AS (SELECT doc_id, {_PH.format(x="shingle")} AS h FROM sh),
+evsh AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 97 = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM hashed WHERE h IN (SELECT h FROM evsh)
+GROUP BY doc_id
+""",
+    doc="Benchmark decontamination (training-data hygiene): flag docs "
+    "sharing any word n-gram with the eval set (here: doc_id %% 97 == 0 "
+    "as the stand-in benchmark; 3-grams for this short-doc corpus, "
+    "default 8 in the operator). Eval shingles broadcast; corpus is one "
+    "map-side explode + semi-join — never shuffled except the per-doc "
+    "hit count (operators/dedup.py:decontaminate)",
+    tags=("dedup", "curation"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return D.decontaminate(docs, ev, n=3, portable=True)
+
+
+@register(
+    "stratified_sample",
+    f"""
+SELECT doc_id, media_type FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         {_PH.format(x="'sample:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS b
+  FROM documents
+)
+WHERE (media_type = 'image' AND b < 1000000)
+   OR (media_type = 'audio' AND b < 500000)
+   OR (media_type = 'video' AND b < 100000)
+""",
+    doc="Deterministic per-stratum sampling — the data-mixing primitive "
+    "(keep 100%% of one domain, 50%% / 10%% of others) via md5-slice "
+    "key-hash buckets: reproducible on any engine/partitioning, monotone "
+    "in the rate, pure map-side (operators/text.py:stratified_sample)",
+    tags=("text", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    typed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("media_type"),
+    )
+    return TX.stratified_sample(
+        typed, "media_type", {"image": 1.0, "audio": 0.5, "video": 0.1}
+    )
+
+
+@register(
+    "top_terms_tfdf",
+    f"""
+WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+  FROM tf JOIN df USING (term)
+)
+WHERE rank <= 5
+""",
+    doc="Per-document top-5 characteristic terms: tf desc, doc-frequency "
+    "asc tie-break (the tf-idf ordering on all-integer ranks — "
+    "bit-identical across engines, no float idf); explode + two "
+    "map-side-partial aggregations + per-doc window "
+    "(operators/text.py:top_terms)",
+    tags=("text",),
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+_PROFILE_COLS = (
+    ("event_id", "event_id"),
+    ("user_id", "user_id"),
+    ("event_type", "event_type"),
+    ("value", "CAST(FLOOR(value * 1000000) AS BIGINT)"),
+)
+
+_PROFILE_ORACLE = (
+    "WITH w AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    + ", ".join(
+        f"CAST(count(DISTINCT {expr}) AS BIGINT) AS {c}_d, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}_n, "
+        f"CAST(min({expr}) AS VARCHAR) AS {c}_lo, "
+        f"CAST(max({expr}) AS VARCHAR) AS {c}_hi"
+        for c, expr in _PROFILE_COLS
+    )
+    + " FROM events)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, n_rows, {c}_d AS n_distinct, "
+        f"{c}_n AS n_nulls, {c}_lo AS min_str, {c}_hi AS max_str FROM w"
+        for c, _ in _PROFILE_COLS
+    )
+)
+
+
+@register(
+    "table_profile",
+    _PROFILE_ORACLE,
+    doc="Data-profiling pass (pre-training sanity report): per tracked "
+    "events column — exact distinct count, null count, min/max (doubles "
+    "profiled on their micro-quantized integer form; cross-engine float "
+    "rendering differs). ONE aggregation job via Spark's expand-based "
+    "multi-distinct planning (operators/analytics.py:table_profile)",
+    tags=("agg", "profiling"),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import analytics as A  # noqa: PLC0415
+
+    return A.table_profile(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "multimodal_features",
     """
 SELECT doc_id,
