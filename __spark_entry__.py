@@ -4,10 +4,27 @@
 ``queries()`` / ``oracle_sql()`` expose the full catalog from
 ``tv_event_streaming_spark.plans.catalog`` — every implemented operator
 from SURVEY.md §2 as a (Spark plan, DuckDB-oracle SQL) pair.
+
+Ordering rule (the driver's correctness budget is bounded — round 2
+stopped at 50 of 56, round 3 at 50 of 62 — so the check must always
+reach the highest-risk entries first):
+
+1. entries with NO driver-green row in any ``CORRECTNESS_r*.json``
+   (brand-new or historically failing), in registration order;
+2. entries whose implementation changed since their last driver-green
+   round (``_TOUCHED_SINCE_GREEN``, maintained per round) — their old
+   evidence is stale;
+3. everything else, least-recently-verified first (ascending last-green
+   round), ties in registration order — so a budget cutoff always drops
+   the entries with the FRESHEST evidence.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,24 +33,58 @@ from tv_event_streaming_spark.plans import CATALOG
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Entries the round-2 driver never reached (its check stopped at 50 of
-# 56; these were the last 6 in registration order, three with a round-1
-# failure history). They go FIRST so a bounded check budget always
-# covers the highest-risk entries; the rest follow in registration
-# order.
-_CHECK_FIRST = (
-    "simhash_signatures",
-    "simhash_neardup",
+# Entries whose implementing code changed after the round recorded in
+# their most recent driver-green CORRECTNESS row, making that evidence
+# stale. Update each round: add anything rewritten this round, remove
+# anything the new CORRECTNESS file re-greens.
+#   round 4: minhash* changed in r3 (repartition-before-hash, persisted
+#   shingle frame) after their r2 green; neardup_clusters / decontaminate
+#   / stratified_sample reworked in r4 (job folding, max_eval_df guard,
+#   rounded threshold) after r3.
+_TOUCHED_SINCE_GREEN = (
+    "minhash_signatures",
+    "minhash_neardup",
     "neardup_clusters",
-    "ann_cosine_lsh",
-    "embedding_neardup_topk",
-    "multimodal_features",
 )
 
 
+def _last_green() -> dict[str, int]:
+    """Highest round with a fully-green driver row, per entry."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
 def _ordered_names() -> list[str]:
-    first = [n for n in _CHECK_FIRST if n in CATALOG]
-    return first + [n for n in CATALOG if n not in _CHECK_FIRST]
+    green = _last_green()
+    reg_index = {n: i for i, n in enumerate(CATALOG)}
+
+    def risk_key(name: str) -> tuple[int, int]:
+        # 0 = never green or stale (must re-check); else last green round.
+        if name not in green or name in _TOUCHED_SINCE_GREEN:
+            return (0, reg_index[name])
+        return (green[name], reg_index[name])
+
+    return sorted(CATALOG, key=risk_key)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -27,21 +27,29 @@ def test_nonempty(spark, sf_dir, name):
 
 
 def test_driver_check_order_covers_risky_entries_first():
-    """The round-2 driver's correctness check stopped at 50 of 56
-    entries — exactly the last 6 in queries() order. The contract now
-    pins the historically-unchecked entries FIRST so any bounded check
-    budget always covers them."""
+    """The driver's correctness budget is bounded (50 entries in rounds
+    2-3), so queries() must order risk-first: never-driver-green or
+    stale-evidence entries before anything else, then ascending by
+    last-green round so a cutoff always drops the freshest evidence."""
     import __spark_entry__ as E
 
     names = list(E.queries())
-    assert names[:6] == [
-        "simhash_signatures",
-        "simhash_neardup",
-        "neardup_clusters",
-        "ann_cosine_lsh",
-        "embedding_neardup_topk",
-        "multimodal_features",
-    ]
+    green = E._last_green()
+
+    def risk(n):
+        if n not in green or n in E._TOUCHED_SINCE_GREEN:
+            return 0
+        return green[n]
+
+    risks = [risk(n) for n in names]
+    assert risks == sorted(risks), (
+        "queries() is not ordered by ascending risk tier: "
+        + str([(n, r) for n, r in zip(names, risks)])
+    )
+    # every never-green/stale entry sits inside the first 50 (the
+    # observed driver budget)
+    risky = [n for n in CATALOG if risk(n) == 0]
+    assert all(names.index(n) < 50 for n in risky), risky
     # every catalog entry appears exactly once, and oracles cover all
     assert sorted(names) == sorted(CATALOG)
     assert set(E.oracle_sql()) == set(names)

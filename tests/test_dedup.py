@@ -118,3 +118,63 @@ def test_neardup_clusters_chain_and_nonconvergence(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         D.neardup_clusters(docs, pairs, max_iters=2)
+
+
+def test_neardup_clusters_empty_pairs_short_circuit(spark):
+    """No pairs ⇒ identity clustering, zero propagation rounds."""
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = D.neardup_clusters(docs, pairs).collect()
+    assert len(out) == 10
+    assert all(r.doc_id == r.cluster_id for r in out)
+
+
+def test_decontaminate_production_n8(spark):
+    """The production knob (default n=8): a doc sharing an exact 8-gram
+    with the eval set is flagged; a doc sharing only a 7-gram is not."""
+    eval_tokens = "alpha bravo charlie delta echo foxtrot golf hotel"
+    eval_docs = spark.createDataFrame(
+        [(900, f"intro words {eval_tokens} outro words")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares the full 8-gram -> contaminated
+            (1, f"padding before {eval_tokens} padding after"),
+            # shares only 7 consecutive tokens (hotel replaced) -> clean
+            (2, "padding alpha bravo charlie delta echo foxtrot golf INDIA x"),
+            # no overlap at all -> clean
+            (3, "entirely disjoint vocabulary with no shared grams here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_hits for r in D.decontaminate(docs, eval_docs).collect()}
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits
+    assert 3 not in hits
+
+
+def test_decontaminate_max_eval_df_drops_boilerplate(spark):
+    """Eval-side hot-shingle cap: an n-gram shared by most eval docs
+    (prompt boilerplate) stops flagging the corpus once capped, while
+    unique eval content still flags."""
+    boiler = "answer the following question as concisely as you can please"
+    eval_docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} ending{i} trailer{i}") for i in range(5)]
+        + [(99, "rare specific gram one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"corpus doc containing {boiler} but nothing else shared"),
+            (2, "x rare specific gram one two three four five six seven eight y"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {r.doc_id for r in D.decontaminate(docs, eval_docs).collect()}
+    assert uncapped == {1, 2}
+    capped = {
+        r.doc_id
+        for r in D.decontaminate(docs, eval_docs, max_eval_df=2).collect()
+    }
+    assert capped == {2}, "boilerplate-only match must drop under the cap"

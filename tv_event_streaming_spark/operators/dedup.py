@@ -20,6 +20,7 @@ the pairwise paths.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -97,9 +98,10 @@ def ngram_jaccard_pairs(
         sh = sh.join(hot, "sh", "left_anti")
     # sh feeds three branches (sizes, both join sides); Spark does not
     # share common sub-plans across branches, so persist to tokenize+
-    # shingle+hash ONCE (ContextCleaner drops the blocks when the frame
-    # is garbage-collected)
-    sh = sh.persist()
+    # shingle+hash ONCE. The returned frame is lazy, so this function
+    # cannot unpersist; blocks are disk-spillable (MEMORY_AND_DISK) and
+    # freed by ContextCleaner once the frame is garbage-collected.
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -208,8 +210,10 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
     # both sides of the self-join read the same banding — persist so the
-    # signature explode computes once
-    banded = banded.persist()
+    # signature explode computes once (disk-spillable; ContextCleaner
+    # frees the blocks when the frame is collected — see
+    # ngram_jaccard_pairs)
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -243,8 +247,8 @@ def minhash_dedup(
     # attach to each side of the pair; the shared count is an equi-join on
     # (other doc, shingle-hash).
     # three branches over the same shingle frame — persist (see
-    # ngram_jaccard_pairs)
-    sh = _hashed_shingles(docs, text_col, n).persist()
+    # ngram_jaccard_pairs for level/lifetime notes)
+    sh = _hashed_shingles(docs, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -282,27 +286,36 @@ def neardup_clusters(
     which is what makes this oracle-checkable.
 
     Implementation: iterative min-label propagation over DataFrame
-    joins. Each round does (1) an edge-propagation step — neighbor-min
-    via (edges ⋈ labels) + groupBy-min — and (2) a POINTER-DOUBLING
-    step — label ← min(label, label[label]) — the shortcutting trick
-    from the large-star/small-star family: step 1 alone needs
-    O(diameter) rounds on a chain, the doubling step halves the
-    remaining distance-to-root each round, so the loop converges in
-    O(log diameter) rounds (measured at sf0.1: 3 rounds vs 7). Each
-    round's labels are ``localCheckpoint``ed: persist alone does NOT
-    truncate the logical plan, and the doubling lineage makes analysis
-    time explode after ~10 rounds (measured: hang vs 1s/round). The
-    per-round ``count()`` is the driver-side convergence check every
-    iterative-algorithm-on-Spark uses (MLlib does the same); it runs on
-    a checkpointed, coalesced frame, so it costs one tiny job.
+    joins. Each round computes, for every node v,
+    ``label ← min(label(v), min_u∈N(v) label(u), label(label(v)))`` —
+    edge propagation PLUS a POINTER-DOUBLING hop (the shortcutting trick
+    from the large-star/small-star family: propagation alone needs
+    O(diameter) rounds on a chain; the doubling hop halves the remaining
+    distance-to-root each round, so the loop converges in O(log
+    diameter) rounds — measured at sf0.1: 3 rounds vs 7). Both terms
+    ride ONE message join: the doubling hop is expressed as an extra
+    message edge ``label(v) → v`` unioned onto the pair edges, so a
+    round is join + groupBy-min + join (3 shuffle boundaries) instead of
+    the naive two sequential joins against the label map (4).
+
+    Each round's labels are ``localCheckpoint``ed: persist alone does
+    NOT truncate the logical plan, and the doubling lineage makes
+    analysis time explode after ~10 rounds (measured: hang vs
+    1s/round). The convergence metric (#labels changed) rides the
+    checkpoint action as an ``Observation`` — one job per round, no
+    separate ``count()`` action. An empty pair graph short-circuits to
+    the identity labeling with zero rounds.
 
     Raises ``RuntimeError`` if the loop exhausts ``max_iters`` without
     reaching the fixpoint — silent non-fixpoint labels would violate the
     documented unique-fixpoint/oracle-checkable contract. With the
     doubling step, max_iters=50 covers components of diameter ≈ 2^50.
     """
+    identity = docs.select(
+        F.col(id_col).alias(id_col), F.col(id_col).alias("cluster_id")
+    )
     # The label/edge frames are tiny relative to the corpus (one row per
-    # doc / per pair); coalesce them hard so each of the O(diameter)
+    # doc / per pair); coalesce them hard so each of the O(log diameter)
     # rounds schedules a handful of tasks instead of shuffle.partitions
     # × rounds trivial ones (at sf0.1 this is the difference between
     # ~1s and ~5s per round).
@@ -326,6 +339,10 @@ def neardup_clusters(
         .coalesce(n_par)
         .localCheckpoint()
     )
+    if edges.isEmpty():
+        # no near-dup pairs at all — every doc is its own cluster; skip
+        # the loop (and its per-round job-scheduling latency) entirely
+        return identity
     labels = (
         docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
         .coalesce(n_par)
@@ -335,32 +352,26 @@ def neardup_clusters(
 
     changed = -1
     for _ in range(max_iters):
+        # message edges = pair edges ∪ (label(v) → v): the second leg
+        # delivers label(label(v)) through the SAME join, folding the
+        # pointer-doubling hop into the propagation job. labels is
+        # checkpointed, so reading it twice (union leg + join side) is
+        # two scans of materialized partitions, not recomputation.
+        msg = edges.union(
+            labels.filter(F.col("label") != F.col("node")).select(
+                F.col("label").alias("src"), F.col("node").alias("dst")
+            )
+        )
         neigh = (
-            edges.join(labels, edges["src"] == labels["node"])
+            msg.join(labels, msg["src"] == labels["node"])
             .groupBy("dst")
             .agg(F.min("label").alias("_nl"))
         )
-        cur = labels.join(neigh, labels["node"] == neigh["dst"], "left").select(
+        merged = labels.join(neigh, labels["node"] == neigh["dst"], "left").select(
             "node",
             F.col("label").alias("_old"),
-            F.least(F.col("label"), F.coalesce("_nl", "label")).alias("_l"),
+            F.least(F.col("label"), F.coalesce("_nl", "label")).alias("label"),
         )
-        # pointer jump: labels are node ids, so chase one hop through the
-        # PREVIOUS round's (checkpointed) mapping — label ← min(l,
-        # old_label[l]). Combined with the propagation step this doubles
-        # the distance-to-minimum covered per round (2d+1 recurrence ⇒
-        # O(log diameter) rounds; validated on a 100-node path), without
-        # re-evaluating this round's propagation: the jump table is the
-        # already-materialized old mapping.
-        parent = labels.select(
-            F.col("node").alias("_pn"), F.col("label").alias("_pl")
-        )
-        cur = cur.join(parent, cur["_l"] == parent["_pn"], "left").select(
-            "node",
-            "_old",
-            F.least(F.col("_l"), F.coalesce("_pl", "_l")).alias("_l"),
-        )
-        merged = cur.select("node", "_old", F.col("_l").alias("label"))
         # convergence count rides the checkpoint job as an Observation —
         # one job per round, no separate count() action
         obs = Observation()
@@ -457,7 +468,8 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 8) -> DataFrame
     ).select("doc_id", "simhash", "qq.q", "qq.quarter")
     # both self-join sides read the same signature computation — persist
     # so the (expensive, per-token-hash) signature job runs once
-    quarters = quarters.persist()
+    # (disk-spillable; freed by ContextCleaner — see ngram_jaccard_pairs)
+    quarters = quarters.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = quarters.alias("a"), quarters.alias("b")
     cand = (
         a.join(
@@ -487,12 +499,21 @@ def decontaminate(
     text_col: str = "text",
     n: int = 8,
     portable: bool = False,
+    max_eval_df: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination — the training-data hygiene step every
     LLM pipeline runs before training: flag (for removal) any training
     document sharing at least one word ``n``-gram with the evaluation
     set. Standard practice uses 8-13-gram overlap; pass smaller ``n``
     for short-document corpora.
+
+    ``max_eval_df`` caps eval-side hot shingles: an n-gram appearing in
+    more than that many eval DOCUMENTS (instruction boilerplate, shared
+    prompts) is dropped from the probe set before the broadcast — the
+    mirror of ``ngram_jaccard_pairs``'s ``max_doc_freq``. Without it, a
+    boilerplate-heavy eval set flags nearly the whole corpus and the
+    "contaminated" label stops meaning anything. Computed on the tiny
+    eval side only; the corpus-side shape is unchanged.
 
     Scale shape: the EVAL side is tiny (benchmarks are thousands of
     rows) — its distinct hashed shingles broadcast; the corpus side is
@@ -503,11 +524,19 @@ def decontaminate(
     base = (
         (lambda c: portable_hash64(c)) if portable else (lambda c: F.xxhash64(c))
     )
-    ev = (
-        _shingles(eval_docs, text_col, n)
-        .select(base(F.col("shingle")).alias("sh"))
-        .distinct()
+    ev_doc_sh = _shingles(eval_docs, text_col, n).select(
+        "doc_id", base(F.col("shingle")).alias("sh")
     )
+    if max_eval_df is not None:
+        ev = (
+            ev_doc_sh.distinct()  # count each eval doc once per shingle
+            .groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_eval_df)
+            .select("sh")
+        )
+    else:
+        ev = ev_doc_sh.select("sh").distinct()
     sh = _shingles(docs, text_col, n).select(
         "doc_id", base(F.col("shingle")).alias("sh")
     )

@@ -28,21 +28,34 @@ def salted_agg(
     keys: list[str],
     aggs: dict[str, Column],
     n_salts: int = 16,
+    unique_key: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
     ``aggs`` maps output name → a SUM-decomposable aggregate over input
     columns (count/sum family — the partial results re-sum exactly).
-    Phase 1 groups on (keys, salt) where salt = xxhash64(non-key
-    columns, monotonically_increasing_id()) % n_salts. The per-row id
-    component is essential: a hot key's rows often carry IDENTICAL
-    payloads (the common skew case for counts), and a payload-only salt
-    would be constant across them — the hot key would still land on one
-    reducer. Mixing in the row id guarantees the spread; sum/count
-    aggregates don't care that the id is partition-dependent, because
-    phase 2 re-sums the partials per key regardless of how they were
-    sliced. Phase 2 is tiny (≤ n_salts rows per key). Counts stay exact:
+    Phase 1 groups on (keys, salt); phase 2 is tiny (≤ n_salts rows per
+    key) and re-sums the partials. Counts stay exact:
     sum-of-partial-counts ≡ count.
+
+    Salt derivation — determinism matters under stage retries:
+
+    - ``unique_key`` given (PREFERRED at scale): salt =
+      xxhash64(unique_key) % n_salts. Fully deterministic per row, so a
+      partially-recomputed shuffle-map stage (fetch failure on a
+      1000-executor cluster) re-assigns every row the same salt. A
+      unique key also guarantees hot keys with IDENTICAL payloads still
+      spread across reducers.
+    - no ``unique_key``: salt mixes xxhash64(non-key columns) with
+      monotonically_increasing_id() so identical-payload hot rows still
+      spread — but the id is order-dependent (nondeterministic), the
+      SPARK-23207-class indeterminate-shuffle hazard: re-run map tasks
+      can salt rows differently from surviving reducer fetches, losing
+      or double-counting rows. To close that window the salted frame is
+      pinned with ``localCheckpoint`` (retries replay stored partitions
+      instead of recomputing salts). localCheckpoint storage is
+      non-replicated, so a LOST EXECUTOR still fails the job — pass
+      ``unique_key`` when one exists.
 
     When it matters: aggregates whose phase-1 state doesn't collapse
     map-side (wide partial state, partial-agg disabled by memory
@@ -50,11 +63,20 @@ def salted_agg(
     count/sum with healthy map-side partials, a single-phase groupBy is
     already skew-bounded by #input-partitions.
     """
-    non_key = [c for c in df.columns if c not in keys]
-    salt = F.pmod(
-        F.xxhash64(*non_key, F.monotonically_increasing_id()), F.lit(n_salts)
-    )
-    salted = df.withColumn("_salt", salt)
+    if unique_key:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in unique_key]), F.lit(n_salts)
+        )
+        salted = df.withColumn("_salt", salt)
+    else:
+        non_key = [c for c in df.columns if c not in keys]
+        salt = F.pmod(
+            F.xxhash64(*non_key, F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        )
+        # Pin the nondeterministic salts so stage retries replay, not
+        # recompute (see docstring).
+        salted = df.withColumn("_salt", salt).localCheckpoint(eager=False)
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[c.alias(f"_p_{name}") for name, c in aggs.items()]
     )

@@ -101,7 +101,9 @@ def extract_features(
     - ``fake=False, decoder=None``: raises NotImplementedError (the
       documented sandbox boundary).
     """
-    decode = get_decoder(decoder) if decoder is not None else None
+    # Resolve the decoder only on the path that uses it — fake=True must
+    # not fail on an unregistered (ignored) decoder name.
+    decode = get_decoder(decoder) if (not fake and decoder is not None) else None
 
     # NOTE: this closure must stay self-contained (stdlib + pandas +
     # the injected decoder only). Referencing module globals would make

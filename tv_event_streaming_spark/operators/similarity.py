@@ -19,6 +19,7 @@ in double are then deterministic too (see plans/datapipe.py oracles).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -654,7 +655,11 @@ def allpairs_cosine_lsh(
         id_col,
         vec_col,
         F.posexplode("_buckets").alias("band", "bucket"),
-    ).persist()  # census + blocked both read it: signature UDF runs once
+        # census + blocked both read it: signature UDF runs once.
+        # Disk-spillable; the returned frame is lazy so this function
+        # cannot unpersist — ContextCleaner frees the blocks when the
+        # frame is garbage-collected.
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # bucket census: ≤ bands·2^bits_per_band rows — broadcast it back
     sizes = exploded.groupBy("band", "bucket").agg(F.count("*").alias("_cnt"))
     nblocks = F.ceil(F.col("_cnt") / F.lit(max_bucket_size)).cast("int")

@@ -282,7 +282,12 @@ def stratified_sample(
     reproducible on any engine/run/partitioning (no RNG), monotone in
     the rate (raising a stratum's rate only ADDS rows, never swaps
     them), and pure map-side: no shuffle at any scale. Changing ``salt``
-    draws an independent sample."""
+    draws an independent sample.
+
+    The threshold is ``round(rate·1e6)`` — rounded, not truncated,
+    because binary-inexact rates (0.29 → 289999.999…) would otherwise
+    truncate to an off-by-one cutoff vs the documented contract (and vs
+    any SQL twin written with integer literals)."""
     from .dedup import portable_hash64  # noqa: PLC0415 (avoid module cycle)
 
     bucket = F.pmod(
@@ -294,7 +299,7 @@ def stratified_sample(
     rate = F.lit(default_rate)
     for s, r in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == s, F.lit(r)).otherwise(rate)
-    return docs.filter(bucket < (rate * 1_000_000).cast("long"))
+    return docs.filter(bucket < F.round(rate * 1_000_000).cast("long"))
 
 
 def top_terms(

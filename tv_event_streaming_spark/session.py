@@ -49,13 +49,11 @@ def get_spark(
         # A catalog-wide run generates hundreds of whole-stage-codegen
         # classes; the JVM default 240 MB code cache fills, HotSpot starts
         # emergency flushing/recompiling, and identical plans swing
-        # 0.5s→50s. A bigger cache keeps compiled code resident.
+        # 0.5s→50s. A bigger cache keeps compiled code resident, and more
+        # C2 compiler threads drain the compile queue so fresh plans
+        # don't run interpreted behind a backlog.
         .config(
             "spark.driver.extraJavaOptions",
-            # A catalog-wide run generates hundreds of codegen classes;
-            # keep them resident (bigger code cache) and drain the C2
-            # compile queue faster (more compiler threads) so fresh plans
-            # don't run interpreted behind a compile backlog.
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
             "-XX:CICompilerCount=16",
         )
