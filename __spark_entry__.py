@@ -38,13 +38,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # stale. Update each round: add anything rewritten this round, remove
 # anything the new CORRECTNESS file re-greens.
 #   round 4: minhash* changed in r3 (repartition-before-hash, persisted
-#   shingle frame) after their r2 green; neardup_clusters / decontaminate
-#   / stratified_sample reworked in r4 (job folding, max_eval_df guard,
-#   rounded threshold) after r3.
+#   shingle frame) after their r2 green; neardup_clusters (loop retuned)
+#   and scalar_functions (reverted to get_json_object) changed in r4
+#   after their r3 green.
 _TOUCHED_SINCE_GREEN = (
     "minhash_signatures",
     "minhash_neardup",
     "neardup_clusters",
+    "scalar_functions",
 )
 
 

@@ -286,17 +286,18 @@ def neardup_clusters(
     which is what makes this oracle-checkable.
 
     Implementation: iterative min-label propagation over DataFrame
-    joins. Each round computes, for every node v,
-    ``label ← min(label(v), min_u∈N(v) label(u), label(label(v)))`` —
-    edge propagation PLUS a POINTER-DOUBLING hop (the shortcutting trick
-    from the large-star/small-star family: propagation alone needs
-    O(diameter) rounds on a chain; the doubling hop halves the remaining
-    distance-to-root each round, so the loop converges in O(log
-    diameter) rounds — measured at sf0.1: 3 rounds vs 7). Both terms
-    ride ONE message join: the doubling hop is expressed as an extra
-    message edge ``label(v) → v`` unioned onto the pair edges, so a
-    round is join + groupBy-min + join (3 shuffle boundaries) instead of
-    the naive two sequential joins against the label map (4).
+    joins. Each round does (1) an edge-propagation step — neighbor-min
+    via (edges ⋈ labels) + groupBy-min, l1 = min(label, neighbor
+    mins) — and (2) a POINTER-JUMP step through the FRESH value —
+    l2 = min(l1, old_label[l1]) — the shortcutting trick from the
+    large-star/small-star family. Jumping through l1 (not the stale
+    label) matters: it chases the already-improved chain (a stale-label
+    jump measured one extra round at sf0.1 for the same cost). The jump
+    shortcuts label CHAINS, so it bounds rounds at O(log diameter) when
+    min-id chains form; on graphs whose component minimum sits at a
+    chain end (small reach), propagation still pays ~diameter/2 rounds
+    (measured 7 at sf0.1) — which is why the loop's per-round LATENCY,
+    not its shuffle volume, is what the knobs below minimize.
 
     Each round's labels are ``localCheckpoint``ed: persist alone does
     NOT truncate the logical plan, and the doubling lineage makes
@@ -306,6 +307,14 @@ def neardup_clusters(
     separate ``count()`` action. An empty pair graph short-circuits to
     the identity labeling with zero rounds.
 
+    During the loop (only — the upstream pair pipeline keeps its
+    session config) AQE is disabled and ``spark.sql.shuffle.partitions``
+    is pinned to the loop's own partition count: every per-round shuffle
+    is label-frame-sized with uniformly-distributed integer keys, so
+    AQE's per-stage re-planning and coalescing buy nothing and cost
+    ~0.1s per shuffle in scheduling — measured 4.3s → 1.9s for the
+    whole loop at sf0.1. Both settings are restored in a ``finally``.
+
     Raises ``RuntimeError`` if the loop exhausts ``max_iters`` without
     reaching the fixpoint — silent non-fixpoint labels would violate the
     documented unique-fixpoint/oracle-checkable contract. With the
@@ -314,14 +323,14 @@ def neardup_clusters(
     identity = docs.select(
         F.col(id_col).alias(id_col), F.col(id_col).alias("cluster_id")
     )
-    # The label/edge frames are tiny relative to the corpus (one row per
-    # doc / per pair); coalesce them hard so each of the O(log diameter)
-    # rounds schedules a handful of tasks instead of shuffle.partitions
-    # × rounds trivial ones (at sf0.1 this is the difference between
-    # ~1s and ~5s per round).
-    n_par = max(2, docs.sparkSession.sparkContext.defaultParallelism // 4)
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    spark = docs.sparkSession
     # double the edges with ONE explode (a union of two selects would
-    # evaluate the whole upstream pair pipeline twice in this job)
+    # evaluate the whole upstream pair pipeline twice in this job); the
+    # edge count rides the checkpoint job as an Observation — no
+    # separate isEmpty/count action
+    edge_obs = Observation()
     edges = (
         pairs.select(
             F.explode(
@@ -336,56 +345,92 @@ def neardup_clusters(
             ).alias("_e")
         )
         .select("_e.src", "_e.dst")
-        .coalesce(n_par)
+        .observe(edge_obs, F.count(F.lit(1)).alias("n_edges"))
         .localCheckpoint()
     )
-    if edges.isEmpty():
+    n_edges = int(edge_obs.get["n_edges"] or 0)
+    if n_edges == 0:
         # no near-dup pairs at all — every doc is its own cluster; skip
         # the loop (and its per-round job-scheduling latency) entirely
         return identity
+    label_obs = Observation()
     labels = (
         docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-        .coalesce(n_par)
+        .observe(label_obs, F.count(F.lit(1)).alias("n_docs"))
         .localCheckpoint()
     )
-    from pyspark.sql import Observation  # noqa: PLC0415
+    n_docs = int(label_obs.get["n_docs"] or 0)
+    # Size the loop's partition count from the MEASURED frames (both
+    # counts rode the checkpoint jobs for free), capped at cluster
+    # parallelism: the per-round frames are one row per doc / per edge,
+    # so ~500k rows per task keeps tasks meaty while a tiny graph runs
+    # on 2 partitions instead of scheduling defaultParallelism trivial
+    # tasks per stage per round (at sf0.1: 4.3s → 1.6s for the loop).
+    n_par = max(
+        2,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-max(n_edges, n_docs) // 500_000),
+        ),
+    )
+    # narrow (shuffle-free) re-slices of the checkpointed frames
+    edges = edges.coalesce(n_par)
+    labels = labels.coalesce(n_par)
 
+    # Loop-only session tuning (see docstring): AQE off, shuffle
+    # partitions pinned to the loop's partition count. Saved/restored
+    # around the loop so the rest of the session is untouched.
+    conf = spark.conf
+    saved = {
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
+    }
     changed = -1
-    for _ in range(max_iters):
-        # message edges = pair edges ∪ (label(v) → v): the second leg
-        # delivers label(label(v)) through the SAME join, folding the
-        # pointer-doubling hop into the propagation job. labels is
-        # checkpointed, so reading it twice (union leg + join side) is
-        # two scans of materialized partitions, not recomputation.
-        msg = edges.union(
-            labels.filter(F.col("label") != F.col("node")).select(
-                F.col("label").alias("src"), F.col("node").alias("dst")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(n_par))
+        for _ in range(max_iters):
+            neigh = (
+                edges.join(labels, edges["src"] == labels["node"])
+                .groupBy("dst")
+                .agg(F.min("label").alias("_nl"))
             )
-        )
-        neigh = (
-            msg.join(labels, msg["src"] == labels["node"])
-            .groupBy("dst")
-            .agg(F.min("label").alias("_nl"))
-        )
-        merged = labels.join(neigh, labels["node"] == neigh["dst"], "left").select(
-            "node",
-            F.col("label").alias("_old"),
-            F.least(F.col("label"), F.coalesce("_nl", "label")).alias("label"),
-        )
-        # convergence count rides the checkpoint job as an Observation —
-        # one job per round, no separate count() action
-        obs = Observation()
-        observed = merged.observe(
-            obs,
-            F.sum((F.col("label") != F.col("_old")).cast("long")).alias("changed"),
-        )
-        new_labels = (
-            observed.select("node", "label").coalesce(n_par).localCheckpoint()
-        )
-        changed = int(obs.get["changed"] or 0)
-        labels = new_labels
-        if changed == 0:
-            break
+            cur = labels.join(neigh, labels["node"] == neigh["dst"], "left").select(
+                "node",
+                F.col("label").alias("_old"),
+                F.least(F.col("label"), F.coalesce("_nl", "label")).alias("_l"),
+            )
+            # pointer jump through the FRESH propagated value: the jump
+            # table is the already-materialized old mapping, so no
+            # re-evaluation of this round's propagation.
+            parent = labels.select(
+                F.col("node").alias("_pn"), F.col("label").alias("_pl")
+            )
+            cur = cur.join(parent, cur["_l"] == parent["_pn"], "left").select(
+                "node",
+                "_old",
+                F.least(F.col("_l"), F.coalesce("_pl", "_l")).alias("_l"),
+            )
+            merged = cur.select("node", "_old", F.col("_l").alias("label"))
+            # convergence count rides the checkpoint job as an
+            # Observation — one job per round, no separate count() action
+            obs = Observation()
+            observed = merged.observe(
+                obs,
+                F.sum((F.col("label") != F.col("_old")).cast("long")).alias(
+                    "changed"
+                ),
+            )
+            new_labels = (
+                observed.select("node", "label").coalesce(n_par).localCheckpoint()
+            )
+            changed = int(obs.get["changed"] or 0)
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
     if changed != 0:
         raise RuntimeError(
             f"neardup_clusters did not converge in {max_iters} rounds "

@@ -639,12 +639,15 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").startswith("e").alias("starts_e"),
         (F.upper("event_type") == "ERROR").alias("is_error"),
         F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("N/A")).alias("et_default"),
-        # from_json (schema-projected, single parse) instead of
-        # get_json_object: same NULL-on-malformed semantics, but the
-        # Jackson re-parse-per-call path in get_json_object is both slower
-        # per row and pathologically slow to JIT inside a wide projection
-        # (observed 9-37s cold vs 0.6s warm on a 100k-row single-task scan).
-        F.from_json("props", "k long").getField("k").alias("k_val"),
+        # get_json_object (single-path extraction): measured A/B in fresh
+        # sessions at sf0.1 — warm 0.38s vs from_json's 0.47s, cold 2.2s
+        # vs 2.5s. The 9-37s get_json_object cold cliff seen in round 2
+        # was a filled-code-cache artifact of long many-query sessions;
+        # the session factory's ReservedCodeCacheSize=1g +
+        # CICompilerCount=16 removed it, so the faster steady-state path
+        # wins again. Same NULL-on-malformed semantics as the oracle's
+        # json_extract_string.
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso"),
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts_plus_1h"),
         F.coalesce(F.col("value").cast("double"), F.lit(0.0)).alias("value_d"),

@@ -367,6 +367,48 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_update",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+ranked AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_DOT.format(a='e.embedding', b='c.cvec')}
+                    / sqrt({_NORMSQ.format(v='e.embedding')} * {_NORMSQ.format(v='c.cvec')}) DESC,
+                    c.cent_id
+         ) AS rn
+  FROM embeddings e, cents c
+),
+assign AS (SELECT vec_id, embedding, cent_id AS cell FROM ranked WHERE rn = 1),
+ex AS (
+  SELECT cell,
+         unnest(range(len(embedding))) AS dim,
+         unnest(list_transform(embedding, x -> {_Q.format(x='x')})) AS qval
+  FROM assign
+)
+SELECT cell, CAST(dim AS INTEGER) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(qval) AS BIGINT) AS sum_q,
+       CAST(sum(qval) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS mean_c
+FROM ex GROUP BY cell, dim
+""",
+    doc="One Lloyd iteration of the IVF k-means refinement, "
+    "driver-hashable: quantized-integer cell assignment (ties to lowest "
+    "centroid id) + per-(cell,dim) exact int64 component sums, counts, "
+    "and the mean update as one final double division "
+    "(operators/similarity.py:kmeans_update_stats — the same arithmetic "
+    "kmeans_centroids iterates)",
+    tags=("similarity", "index"),
+)
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_update_stats(emb, n_centroids=16)
+
+
+@register(
     "multimodal_meta",
     """
 SELECT doc_id,
