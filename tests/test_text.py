@@ -70,3 +70,43 @@ def test_top_terms_ranking(spark):
     # doc 2: banana and cherry tie at tf=2, df=2 — term asc breaks it
     assert out[(2, 1)] == ("banana", 2, 2)
     assert out[(2, 2)] == ("cherry", 2, 2)
+
+
+def test_pack_sequences_semantics(spark):
+    """Pack assignment follows the documented contract: docs ordered by
+    key within their group; pack_id = which budget window the doc's
+    first token starts in; first doc of every group is in pack 0."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i % 7))) for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = TX.pack_sequences(docs, budget_tokens=32).collect()
+    by_group = {}
+    for r in sorted(out, key=lambda r: (r.pack_group, r.doc_id)):
+        by_group.setdefault(r.pack_group, []).append(r)
+    assert sum(len(v) for v in by_group.values()) == 100
+    for rows in by_group.values():
+        cum = 0
+        prev_pack = 0
+        for r in rows:
+            assert r.pack_id == cum // 32  # first-token window
+            assert r.pack_id >= prev_pack  # packs monotone in key order
+            prev_pack = r.pack_id
+            cum += r.n_tokens
+        assert rows[0].pack_id == 0
+
+
+def test_table_profile_approx_error_bound(spark, sf_dir):
+    """The HLL path (the documented 100 TB swap) stays within ±5% of the
+    exact distinct counts at rsd=0.01."""
+    from tv_event_streaming_spark.operators import analytics as A
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r.col_name: r.n_distinct for r in A.table_profile(ev).collect()}
+    approx = {
+        r.col_name: r.n_distinct
+        for r in A.table_profile(ev, approx=True).collect()
+    }
+    assert set(exact) == set(approx)
+    for c, n in exact.items():
+        assert abs(approx[c] - n) <= max(1, 0.05 * n), (c, n, approx[c])

@@ -211,16 +211,23 @@ def tail_events(events: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
-def table_profile(events: DataFrame) -> DataFrame:
+def table_profile(events: DataFrame, approx: bool = False) -> DataFrame:
     """Data-profiling pass over the events stream — the pre-training
     sanity report every pipeline runs on a new drop: per tracked column,
-    exact distinct count, null count, and min/max rendered as strings
+    distinct count, null count, and min/max rendered as strings
     (one schema for heterogeneous column types). ONE aggregation job;
     count(DISTINCT a), count(DISTINCT b), ... in a single groupBy is
     planned by Spark as expand+two-phase partial aggregation, so each
     distinct spec shuffles its own (column, value) pairs — linear in the
-    data, no per-column extra scans. At 100 TB swap the exact distincts
-    for approx_count_distinct (HLL) — same one-pass shape."""
+    data, no per-column extra scans.
+
+    ``approx=True`` is the 100 TB path: ``approx_count_distinct`` (HLL,
+    rsd=0.01) replaces the exact distincts — the expand stage disappears
+    (one fixed-size sketch per column per partition instead of shuffled
+    (column, value) pairs), so the pass is a single map-side-collapsing
+    aggregation regardless of cardinality. Exact mode is the
+    oracle-checked catalog entry; approx mode's error bound is
+    pytest-asserted (±5% at rsd=0.01)."""
     cols = ["event_id", "user_id", "event_type", "value"]
     aggs = []
     for c in cols:
@@ -232,8 +239,13 @@ def table_profile(events: DataFrame) -> DataFrame:
             if c == "value"
             else F.col(c)
         )
+        distinct = (
+            F.approx_count_distinct(v, rsd=0.01)
+            if approx
+            else F.countDistinct(v)
+        )
         aggs += [
-            F.countDistinct(v).alias(f"{c}_distinct"),
+            distinct.alias(f"{c}_distinct"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
             # aggregate on the NATIVE type, cast the result — casting
             # first would make min/max lexicographic for numerics

@@ -302,6 +302,64 @@ def stratified_sample(
     return docs.filter(bucket < F.round(rate * 1_000_000).cast("long"))
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic sequence packing — assign documents to
+    fixed-token-budget packs for training-batch construction.
+
+    Contract: documents are ordered by ``key_col``; a document's pack is
+    ``floor(cumulative_tokens_before_it / budget_tokens)`` — i.e. packs
+    are budget-sized windows over the running token total, and a
+    document belongs to the pack its FIRST token falls in (a document
+    may overflow its pack's tail; the loader truncates or spills, the
+    standard concat-then-chunk packing LLM dataloaders use). This form
+    is a pure window cumsum — expressible identically in any SQL engine
+    (the oracle twin), deterministic under any partitioning, and, unlike
+    greedy first-fit, independent of execution order.
+
+    Scale shape: a GLOBAL running total is a single ordered window and
+    would serialize at 100 TB, so the cumsum is computed per
+    ``pack_group`` = a hash bucket of the key (md5-slice
+    :func:`~tv_event_streaming_spark.operators.dedup.portable_hash64`,
+    engine-portable for the oracle; per-doc, not per-token, so the cost
+    is negligible): packs never span groups, every group packs
+    independently in parallel, and determinism is preserved because
+    group assignment and in-group order are both pure functions of the
+    key. Output: (key, pack_group, pack_id, n_tokens).
+    """
+    from .dedup import portable_hash64  # noqa: PLC0415 (avoid module cycle)
+
+    n_groups = 32
+    grp = F.pmod(
+        portable_hash64(F.col(key_col).cast("string")), F.lit(n_groups)
+    )
+    toks = docs.select(
+        F.col(key_col),
+        grp.alias("pack_group"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        key_col,
+        F.col("pack_group").cast("int").alias("pack_group"),
+        ((cum - F.col("n_tokens")) / F.lit(budget_tokens))
+        .cast("long")
+        .alias("pack_id"),
+        "n_tokens",
+    )
+
+
 def top_terms(
     docs: DataFrame, k: int = 5, text_col: str = "text", max_df: int | None = None
 ) -> DataFrame:

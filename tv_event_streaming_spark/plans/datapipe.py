@@ -783,6 +783,40 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sequence_packing",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         {_PH.format(x="CAST(doc_id AS VARCHAR)")} % 32 AS pack_group,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, pack_group, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, CAST(pack_group AS INTEGER) AS pack_group,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+       n_tokens
+FROM c
+""",
+    doc="Sequence packing for training batches: docs keyed into 32 "
+    "parallel pack groups (portable hash), then pack_id = which "
+    "512-token window the doc's first token lands in (concat-then-chunk "
+    "packing; a per-group window cumsum — deterministic under any "
+    "partitioning and execution order, unlike greedy first-fit) "
+    "(operators/text.py:pack_sequences)",
+    tags=("text", "packing"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget_tokens=512
+    )
+
+
+@register(
     "top_terms_tfdf",
     f"""
 WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
