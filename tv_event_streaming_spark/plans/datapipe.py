@@ -782,6 +782,77 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_KEEP = f"""(len({_TOKS}) >= 5 AND len({_TOKS}) <= 100000)
+    AND (CAST(length({_NORM}) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) >= 2.0
+         AND CAST(length({_NORM}) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) <= 12.0)
+    AND (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         / CAST(length(text) AS DOUBLE) < 0.3)
+    AND (CAST(len(list_filter({_TOKS}, t -> t IN {_SW})) AS DOUBLE)
+         / CAST(len({_TOKS}) AS DOUBLE) > 0.02)"""
+
+_SHINGLE3 = (
+    f"unnest(list_distinct(list_transform(range(1, len({_TOKS})-1), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])))"
+)
+
+
+@register(
+    "curation_pipeline",
+    f"""
+WITH gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE {_QUALITY_KEEP}
+),
+k AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5({_NORM})),
+uniq AS (SELECT g.doc_id, g.text FROM gated g JOIN k USING (doc_id)),
+ush AS (
+  SELECT doc_id, {_PH.format(x="shingle")} AS h FROM (
+    SELECT doc_id, {_SHINGLE3} AS shingle FROM uniq WHERE len({_TOKS}) >= 3
+  )
+),
+esh AS (
+  SELECT DISTINCT {_PH.format(x="shingle")} AS h FROM (
+    SELECT {_SHINGLE3} AS shingle FROM documents
+    WHERE doc_id % 97 = 0 AND len({_TOKS}) >= 3
+  )
+),
+cont AS (SELECT DISTINCT doc_id FROM ush WHERE h IN (SELECT h FROM esh))
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')) AS INTEGER)
+         AS n_bpe_tokens
+FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+""",
+    doc="End-to-end curation pipeline — the composed form a real "
+    "training-data pass runs: C4/Gopher quality gate -> exact-dedup "
+    "keeper selection -> benchmark decontamination (doc_id %% 97 eval "
+    "stand-in) -> surviving docs with their BPE-ish token counts. Each "
+    "stage is the already-oracle-checked operator; this entry checks "
+    "their COMPOSITION end-to-end (filters compose map-side; the only "
+    "shuffles are the dedup groupBy and the per-doc hit count)",
+    tags=("text", "dedup", "curation", "pipeline"),
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.join(
+        TX.quality_filter(docs).filter(F.col("keep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    keepers = D.exact_duplicates(gated).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    unique = gated.join(keepers, "doc_id", "left_semi")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    contaminated = D.decontaminate(unique, ev, n=3, portable=True).select(
+        "doc_id"
+    )
+    clean = unique.join(contaminated, "doc_id", "left_anti")
+    return clean.select(
+        "doc_id",
+        TX.bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
+    )
+
+
 @register(
     "sequence_packing",
     f"""
