@@ -307,6 +307,7 @@ def pack_sequences(
     budget_tokens: int = 2048,
     key_col: str = "doc_id",
     text_col: str = "text",
+    n_groups: int = 32,
 ) -> DataFrame:
     """Deterministic sequence packing — assign documents to
     fixed-token-budget packs for training-batch construction.
@@ -329,11 +330,13 @@ def pack_sequences(
     is negligible): packs never span groups, every group packs
     independently in parallel, and determinism is preserved because
     group assignment and in-group order are both pure functions of the
-    key. Output: (key, pack_group, pack_id, n_tokens).
+    key. ``n_groups`` bounds the packing parallelism — size it to a few
+    × total cores at scale (each group is one window task); changing it
+    changes pack assignments, so fix it per dataset.
+    Output: (key, pack_group, pack_id, n_tokens).
     """
     from .dedup import portable_hash64  # noqa: PLC0415 (avoid module cycle)
 
-    n_groups = 32
     grp = F.pmod(
         portable_hash64(F.col(key_col).cast("string")), F.lit(n_groups)
     )

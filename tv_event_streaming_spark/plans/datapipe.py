@@ -841,7 +841,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = D.exact_duplicates(gated).select(
         F.col("keeper_id").alias("doc_id")
     )
-    unique = gated.join(keepers, "doc_id", "left_semi")
+    # unique feeds two branches (decontamination shingles + the final
+    # anti-join); persist so the gate+dedup prefix runs once — same
+    # level/lifetime notes as dedup.ngram_jaccard_pairs
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    unique = gated.join(keepers, "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     contaminated = D.decontaminate(unique, ev, n=3, portable=True).select(
         "doc_id"
