@@ -256,6 +256,69 @@ def test_running_totals_stream_matches_batch_cumsum(
     assert final == last
 
 
+def _portable_hash64(s: str) -> int:
+    """Python twin of dedup.portable_hash64 (first 15 md5 hex chars)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@settings(**SETTINGS)
+@given(
+    ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=25, unique=True),
+    rate=st.floats(0.0, 1.0),
+)
+def test_stratified_sample_matches_python_reference(spark, ids, rate):
+    """The keep set equals the documented contract —
+    hash('sample:'+key) mod 1e6 < round(rate·1e6) — computed in pure
+    Python, for ARBITRARY float rates (binary-inexact rates like 0.29
+    once truncated to an off-by-one threshold)."""
+    from tv_event_streaming_spark.operators.text import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "s") for i in ids], "doc_id long, stratum string"
+    )
+    got = {
+        r.doc_id
+        for r in stratified_sample(docs, "stratum", {"s": rate}).collect()
+    }
+    thr = round(rate * 1_000_000)
+    want = {
+        i for i in ids if _portable_hash64(f"sample:{i}") % 1_000_000 < thr
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(1, 40)),  # (id, n words)
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(8, 64),
+)
+def test_pack_sequences_matches_python_reference(spark, docs, budget):
+    """Pack assignment equals the pure-Python per-group cumsum for
+    arbitrary doc sizes and budgets."""
+    from tv_event_streaming_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in docs], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.pack_group, r.pack_id, r.n_tokens)
+        for r in pack_sequences(df, budget_tokens=budget).collect()
+    }
+    cums: dict[int, int] = {}
+    for i, n in sorted(docs):
+        g = _portable_hash64(str(i)) % 32
+        start = cums.get(g, 0)
+        cums[g] = start + n
+        assert got[i] == (g, start // budget, n), (i, n, g, start)
+
+
 @settings(**SETTINGS)
 @given(
     lefts=st.lists(
