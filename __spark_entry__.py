@@ -38,14 +38,20 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # stale. Update each round: add anything rewritten this round, remove
 # anything the new CORRECTNESS file re-greens.
 #   round 4: minhash* changed in r3 (repartition-before-hash, persisted
-#   shingle frame) after their r2 green; neardup_clusters (loop retuned)
-#   and scalar_functions (reverted to get_json_object) changed in r4
-#   after their r3 green.
+#   shingle frame) after their r2 green; changed in r4 after their r3
+#   green: neardup_clusters (loop retuned), scalar_functions (reverted
+#   to get_json_object), simhash_neardup / ngram_jaccard_topk /
+#   embedding_neardup_topk (persist-level changes in their builders),
+#   multimodal_features (extract_features decoder-resolution fix).
 _TOUCHED_SINCE_GREEN = (
     "minhash_signatures",
     "minhash_neardup",
     "neardup_clusters",
     "scalar_functions",
+    "simhash_neardup",
+    "ngram_jaccard_topk",
+    "embedding_neardup_topk",
+    "multimodal_features",
 )
 
 
