@@ -861,6 +861,120 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_pipeline_neardup",
+    f"""
+WITH RECURSIVE gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE {_QUALITY_KEEP}
+),
+k AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5({_NORM})),
+uniq AS (SELECT g.doc_id, g.text FROM gated g JOIN k USING (doc_id)),
+sh AS (
+  SELECT doc_id, {_SHINGLE3} AS shingle FROM uniq WHERE len({_TOKS}) >= 3
+),
+{_minhash_sig_cte(32)},
+cand AS (
+{_minhash_band_union(8, 4)}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT doc_a, doc_b, count(*) AS shared
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
+  GROUP BY doc_a, doc_b
+),
+p AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.5
+),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM uniq
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node
+),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+kept AS (
+  SELECT u.doc_id, u.text FROM uniq u
+  JOIN cl ON cl.doc_id = u.doc_id AND cl.cluster_id = u.doc_id
+),
+ksh AS (
+  SELECT doc_id, {_PH.format(x="shingle")} AS h FROM (
+    SELECT doc_id, {_SHINGLE3} AS shingle FROM kept WHERE len({_TOKS}) >= 3
+  )
+),
+esh AS (
+  SELECT DISTINCT {_PH.format(x="shingle")} AS h FROM (
+    SELECT {_SHINGLE3} AS shingle FROM documents
+    WHERE doc_id % 97 = 0 AND len({_TOKS}) >= 3
+  )
+),
+cont AS (SELECT DISTINCT doc_id FROM ksh WHERE h IN (SELECT h FROM esh))
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')) AS INTEGER)
+         AS n_bpe_tokens
+FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+""",
+    doc="Full curation pipeline WITH the near-dup tier — the composed "
+    "form a real 100 TB pass runs: quality gate -> exact-dedup keeper "
+    "selection -> MinHash/LSH near-dup pairs among survivors "
+    "(Jaccard >= 0.5) -> connected-component cluster resolution with "
+    "keeper = cluster-min -> anti-join non-keepers -> benchmark "
+    "decontamination -> surviving docs with BPE-ish token counts. "
+    "Every stage is the already-oracle-checked operator "
+    "(text.quality_filter, dedup.exact_duplicates, dedup.minhash_dedup, "
+    "dedup.neardup_clusters, dedup.decontaminate); this entry checks "
+    "their COMPOSITION end-to-end against one recursive-CTE oracle. "
+    "Scale shape: gates compose map-side onto the scan; the persisted "
+    "gate+dedup survivor set is the only frame read more than once; "
+    "shuffles are the dedup groupBy, the LSH band self-join on "
+    "candidates (not the corpus), the label-frame-sized clustering "
+    "rounds, and the per-doc hit count",
+    tags=("text", "dedup", "curation", "pipeline", "iterative"),
+)
+def q_curation_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.join(
+        TX.quality_filter(docs).filter(F.col("keep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    keepers = D.exact_duplicates(gated).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    # the exact-unique survivor set feeds four branches (MinHash
+    # signatures, Jaccard-verify shingles, cluster identity labels, the
+    # final keeper semi-join) — persist so the gate+dedup prefix runs
+    # once (level/lifetime notes as dedup.ngram_jaccard_pairs)
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    unique = gated.join(keepers, "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = D.minhash_dedup(
+        unique, num_hashes=32, bands=8, threshold=0.5, portable=True
+    )
+    clusters = D.neardup_clusters(unique, pairs)
+    nd_keepers = clusters.filter(
+        F.col("cluster_id") == F.col("doc_id")
+    ).select("doc_id")
+    kept = unique.join(nd_keepers, "doc_id", "left_semi")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    contaminated = D.decontaminate(kept, ev, n=3, portable=True).select(
+        "doc_id"
+    )
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+    return clean.select(
+        "doc_id",
+        TX.bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+@register(
     "sequence_packing",
     f"""
 WITH t AS (
