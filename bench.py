@@ -92,6 +92,13 @@ def main() -> None:
         print(
             f"# {name}: {timings[name]:.3f}s (cold {cold:.3f}s)", file=sys.stderr
         )
+        # Builders persist shared sub-plans (MEMORY_AND_DISK) and return
+        # lazy frames, so they can't unpersist their own blocks; without
+        # this, a 65-entry sweep accumulates storage-memory pressure
+        # until ContextCleaner happens to GC the frames. Entry-scoped
+        # (not attempt-scoped): each build() call re-persists its own
+        # fresh frames, so steady-state timings are unaffected.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

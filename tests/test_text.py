@@ -96,6 +96,30 @@ def test_pack_sequences_semantics(spark):
         assert rows[0].pack_id == 0
 
 
+def test_pack_sequences_single_group_is_global_cumsum(spark):
+    """n_groups=1 is the true global concat-then-chunk semantics: one
+    group, every doc in it, pack_id = global prefix-sum // budget in
+    doc_id order — checked against a pure-Python global cumsum. Also
+    pins the contract that grouping is a pure function of the key:
+    re-running under a different input partitioning is identical."""
+    rows = [(i, " ".join(["w"] * (5 + (i * 13) % 11))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.pack_sequences(docs, budget_tokens=64, n_groups=1).collect()
+    assert {r.pack_group for r in out} == {0}  # packs never span groups
+    got = {r.doc_id: (r.pack_id, r.n_tokens) for r in out}
+    cum = 0
+    for doc_id, text in rows:  # already in doc_id order
+        n = len(text.split())
+        assert got[doc_id] == (cum // 64, n)
+        cum += n
+    repartitioned = TX.pack_sequences(
+        docs.repartition(7, "text"), budget_tokens=64, n_groups=1
+    ).collect()
+    assert {r.doc_id: (r.pack_group, r.pack_id) for r in repartitioned} == {
+        r.doc_id: (r.pack_group, r.pack_id) for r in out
+    }
+
+
 def test_table_profile_approx_error_bound(spark, sf_dir):
     """The HLL path (the documented 100 TB swap) stays within ±5% of the
     exact distinct counts at rsd=0.01."""

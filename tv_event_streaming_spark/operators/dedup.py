@@ -315,6 +315,13 @@ def neardup_clusters(
     ~0.1s per shuffle in scheduling — measured 4.3s → 1.9s for the
     whole loop at sf0.1. Both settings are restored in a ``finally``.
 
+    .. warning:: these are SESSION-GLOBAL conf mutations — this
+       operator assumes a single-threaded driver. Any query planned
+       concurrently on the same ``SparkSession`` (a multi-threaded
+       driver) silently inherits the loop's tuning while the loop runs.
+       For concurrent drivers, run the loop on a dedicated
+       ``spark.newSession()`` (same SparkContext, isolated SQL conf).
+
     Raises ``RuntimeError`` if the loop exhausts ``max_iters`` without
     reaching the fixpoint — silent non-fixpoint labels would violate the
     documented unique-fixpoint/oracle-checkable contract. With the

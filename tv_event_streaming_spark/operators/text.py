@@ -353,12 +353,21 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
-    return toks.select(
+    # pack_id = (tokens before this doc) div budget — INTEGER floor
+    # division (`div`), not double division + cast: double truncation
+    # only equals floor while ulp(quotient) < 1/budget, so the oracle
+    # parity would rest on a magnitude argument instead of holding by
+    # construction. The prefix sum is ≥ 0, so div == floor-div.
+    staged = toks.select(
+        key_col,
+        "pack_group",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("_prev"),
+    )
+    return staged.select(
         key_col,
         F.col("pack_group").cast("int").alias("pack_group"),
-        ((cum - F.col("n_tokens")) / F.lit(budget_tokens))
-        .cast("long")
-        .alias("pack_id"),
+        F.expr(f"_prev div {int(budget_tokens)}").cast("long").alias("pack_id"),
         "n_tokens",
     )
 
