@@ -7,13 +7,21 @@ from SURVEY.md §2 as a (Spark plan, DuckDB-oracle SQL) pair.
 
 Ordering rule (the driver's correctness budget is bounded — round 2
 stopped at 50 of 56, round 3 at 50 of 62 — so the check must always
-reach the highest-risk entries first):
+reach the highest-risk entries first), three STRICT tiers:
 
 1. entries with NO driver-green row in any ``CORRECTNESS_r*.json``
    (brand-new or historically failing), in registration order;
 2. entries whose implementation changed since their last driver-green
-   round (``_TOUCHED_SINCE_GREEN``, maintained per round) — their old
-   evidence is stale;
+   round — their old evidence is stale. Staleness is MECHANICAL, not
+   curated (rounds 2-4 used a hand-maintained tuple; a forgotten entry
+   would silently carry stale evidence): an entry is stale iff its
+   content fingerprint (build-fn source + oracle SQL + transitive
+   referenced-module file hashes, see
+   ``tv_event_streaming_spark/evidence.py``) differs from the
+   fingerprint of its last-green round's git tree, recorded in
+   ``EVIDENCE.json`` by ``tools/update_evidence.py``. Re-greened
+   entries age out automatically when the tool absorbs the new
+   CORRECTNESS file (run at round start; test-gated);
 3. everything else, least-recently-verified first (ascending last-green
    round), ties in registration order — so a budget cutoff always drops
    the entries with the FRESHEST evidence.
@@ -32,27 +40,6 @@ from pyspark.sql import DataFrame, SparkSession
 from tv_event_streaming_spark.plans import CATALOG
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
-
-# Entries whose implementing code changed after the round recorded in
-# their most recent driver-green CORRECTNESS row, making that evidence
-# stale. Update each round: add anything rewritten this round, remove
-# anything the new CORRECTNESS file re-greens.
-#   round 4: minhash* changed in r3 (repartition-before-hash, persisted
-#   shingle frame) after their r2 green; changed in r4 after their r3
-#   green: neardup_clusters (loop retuned), scalar_functions (reverted
-#   to get_json_object), simhash_neardup / ngram_jaccard_topk /
-#   embedding_neardup_topk (persist-level changes in their builders),
-#   multimodal_features (extract_features decoder-resolution fix).
-_TOUCHED_SINCE_GREEN = (
-    "minhash_signatures",
-    "minhash_neardup",
-    "neardup_clusters",
-    "scalar_functions",
-    "simhash_neardup",
-    "ngram_jaccard_topk",
-    "embedding_neardup_topk",
-    "multimodal_features",
-)
 
 
 def _last_green() -> dict[str, int]:
@@ -81,15 +68,27 @@ def _last_green() -> dict[str, int]:
     return out
 
 
+def _stale() -> set[str]:
+    """Entries whose live fingerprint differs from their last-green
+    round's recorded one (empty on any failure — ordering then degrades
+    to tiers 1+3, never crashes the driver contract)."""
+    from tv_event_streaming_spark.evidence import stale_entries
+
+    return stale_entries()
+
+
 def _ordered_names() -> list[str]:
     green = _last_green()
+    stale = _stale()
     reg_index = {n: i for i, n in enumerate(CATALOG)}
 
-    def risk_key(name: str) -> tuple[int, int]:
-        # 0 = never green or stale (must re-check); else last green round.
-        if name not in green or name in _TOUCHED_SINCE_GREEN:
-            return (0, reg_index[name])
-        return (green[name], reg_index[name])
+    def risk_key(name: str) -> tuple[int, int, int]:
+        # strict tiers: never-green < stale-evidence < by last green round
+        if name not in green:
+            return (0, 0, reg_index[name])
+        if name in stale:
+            return (1, 0, reg_index[name])
+        return (2, green[name], reg_index[name])
 
     return sorted(CATALOG, key=risk_key)
 

@@ -28,18 +28,23 @@ def test_nonempty(spark, sf_dir, name):
 
 def test_driver_check_order_covers_risky_entries_first():
     """The driver's correctness budget is bounded (50 entries in rounds
-    2-3), so queries() must order risk-first: never-driver-green or
-    stale-evidence entries before anything else, then ascending by
-    last-green round so a cutoff always drops the freshest evidence."""
+    2-4), so queries() must order risk-first in three STRICT tiers:
+    never-driver-green, then stale-evidence (mechanical fingerprint
+    mismatch vs EVIDENCE.json — no hand-maintained list), then
+    ascending by last-green round so a cutoff always drops the
+    freshest evidence."""
     import __spark_entry__ as E
 
     names = list(E.queries())
     green = E._last_green()
+    stale = E._stale()
 
     def risk(n):
-        if n not in green or n in E._TOUCHED_SINCE_GREEN:
-            return 0
-        return green[n]
+        if n not in green:
+            return (0, 0)
+        if n in stale:
+            return (1, 0)
+        return (2, green[n])
 
     risks = [risk(n) for n in names]
     assert risks == sorted(risks), (
@@ -48,8 +53,61 @@ def test_driver_check_order_covers_risky_entries_first():
     )
     # every never-green/stale entry sits inside the first 50 (the
     # observed driver budget)
-    risky = [n for n in CATALOG if risk(n) == 0]
+    risky = [n for n in CATALOG if risk(n)[0] < 2]
     assert all(names.index(n) < 50 for n in risky), risky
     # every catalog entry appears exactly once, and oracles cover all
     assert sorted(names) == sorted(CATALOG)
     assert set(E.oracle_sql()) == set(names)
+
+
+def test_evidence_file_absorbed_latest_correctness_round():
+    """EVIDENCE.json must be regenerated (tools/update_evidence.py)
+    after every driver CORRECTNESS drop — otherwise re-greened entries
+    would stay pinned in the stale tier (the auto-aging contract) and
+    newly-tested code would be compared against an outdated tree."""
+    import glob
+    import json
+    import os
+    import re
+
+    import __spark_entry__ as E
+
+    root = os.path.dirname(os.path.abspath(E.__file__))
+    rounds = [
+        int(re.search(r"r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    with open(os.path.join(root, "EVIDENCE.json")) as f:
+        ev = json.load(f)
+    assert ev["round"] >= max(rounds), (
+        f"EVIDENCE.json is at round {ev['round']} but CORRECTNESS_r"
+        f"{max(rounds)} exists — run tools/update_evidence.py"
+    )
+    # every entry green in some round has a recorded fingerprint
+    missing = set(E._last_green()) - set(ev["entries"])
+    assert not missing, f"green entries without evidence record: {missing}"
+
+
+def test_stale_detection_reacts_to_module_content(tmp_path):
+    """The fingerprint actually covers the module closure: flipping a
+    byte in a referenced operator module changes the entry fingerprint;
+    an untouched entry's fingerprint is stable across recomputation."""
+    from tv_event_streaming_spark import evidence as EV
+
+    before = EV.fingerprint_catalog()
+    assert before == EV.fingerprint_catalog()  # deterministic
+    # simulate an edit to operators/text.py via the module-file map
+    modfiles = EV.package_module_files()
+    text_mod = "tv_event_streaming_spark.operators.text"
+    patched = dict(modfiles)
+    fake = tmp_path / "text.py"
+    fake.write_bytes(open(modfiles[text_mod], "rb").read() + b"\n# edit\n")
+    patched[text_mod] = str(fake)
+    orig = EV.package_module_files
+    EV.package_module_files = lambda: patched
+    try:
+        after = EV.fingerprint_catalog()
+    finally:
+        EV.package_module_files = orig
+    assert before["sequence_packing"] != after["sequence_packing"]
+    assert before["ann_cosine_ivf"] == after["ann_cosine_ivf"]
