@@ -182,16 +182,108 @@ QUALITY_RULES = {
     "token_len_ok": "mean token length in [2, 12]",
     "punct_ok": "punctuation ratio < 0.3",
     "stopword_ok": "stopword ratio > 0.02",
+    "dup_line_ok": "duplicate-line fraction < 0.3",
+    "top2gram_ok": "top word-2-gram character share < 0.2",
 }
+
+
+def _trimmed_lines(t: Column) -> Column:
+    """Non-empty trimmed lines of the RAW text (line structure is
+    destroyed by normalization, so this reads the original column)."""
+    return F.transform(
+        F.filter(F.split(t, "\n"), lambda line: F.trim(line) != ""),
+        lambda line: F.trim(line),
+    )
+
+
+def _word_2grams(toks: Column) -> Column:
+    """ALL word 2-grams of a staged token array — NON-distinct, order
+    preserved (repetition measurement needs multiplicity, unlike the
+    dedup shingles of :func:`word_ngrams_from`)."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# Max over distinct 2-grams of count·chars, as ONE O(n log n) pass: the
+# array is pre-sorted, so equal grams are contiguous and a single
+# aggregate() scan tracks the current run length and the best
+# run·length(gram) seen. Equals the oracle's quadratic
+# max(count(g)·length(g)) form, at linear scan cost — stays inside
+# whole-stage codegen, no explode/shuffle.
+_TOP2GRAM_SCAN = (
+    "aggregate({col}, "
+    "named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), "
+    "(acc, x) -> named_struct("
+    "'prev', x, "
+    "'run', IF(x = acc.prev, acc.run + 1L, 1L), "
+    "'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L) * length(x))), "
+    "acc -> acc.best)"
+)
+
+
+def _stage_repetition(staged: DataFrame, t: Column) -> DataFrame:
+    return staged.withColumn("_lines", _trimmed_lines(t)).withColumn(
+        "_grams2", F.array_sort(_word_2grams(F.col("_toks")))
+    )
+
+
+def _repetition_rules() -> tuple[Column, Column]:
+    """(dup_line_ok, top2gram_ok) over a repetition-staged frame.
+
+    Both thresholds are rational (3/10 and 1/5), so the comparisons are
+    pure INTEGER arithmetic — engine-exact by construction, no float
+    division: dup/lines < 0.3 ⇔ 10·dup < 3·lines, and
+    best/chars < 0.2 ⇔ 5·best < chars."""
+    n_lines = F.size("_lines")
+    n_dup = n_lines - F.size(F.array_distinct("_lines"))
+    best = F.expr(_TOP2GRAM_SCAN.format(col="_grams2"))
+    n_chars = F.length("_norm")
+    dup_line_ok = (n_lines == 0) | (F.lit(10) * n_dup < F.lit(3) * n_lines)
+    top2gram_ok = (n_chars == 0) | (F.lit(5) * best < n_chars)
+    return dup_line_ok, top2gram_ok
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals — the gates real C4/Gopher-style
+    curation leads with: duplicate-line counts and the character share
+    of the single most-repeated word 2-gram, plus the two rule
+    booleans (``QUALITY_RULES``). All-integer numerators/denominators,
+    so every column is bit-exact on any engine. One map-side projection
+    (array sort + linear scan per doc) — no shuffle at any scale."""
+    t = F.col(text_col)
+    staged = _stage_repetition(staged_tokens(docs, text_col), t)
+    n_lines = F.size("_lines")
+    n_dup = n_lines - F.size(F.array_distinct("_lines"))
+    best = F.expr(_TOP2GRAM_SCAN.format(col="_grams2"))
+    dup_line_ok, top2gram_ok = _repetition_rules()
+    return staged.select(
+        "doc_id",
+        n_lines.cast("int").alias("n_lines"),
+        n_dup.cast("int").alias("n_dup_lines"),
+        best.cast("long").alias("top2gram_chars"),
+        F.length("_norm").cast("int").alias("n_chars"),
+        dup_line_ok.alias("dup_line_ok"),
+        top2gram_ok.alias("top2gram_ok"),
+    )
 
 
 def quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Rule-based keep/drop verdict per document (the C4/Gopher-style
     curation gate): emits each rule's boolean plus the conjunction, so
-    downstream can both filter and report per-rule drop rates. One
-    map-side projection over the staged tokens — no shuffle."""
+    downstream can both filter and report per-rule drop rates. Rules:
+    shape (length, mean token length, punctuation, stopwords) AND the
+    repetition signals (duplicate-line fraction, top-2-gram character
+    share) that production C4/Gopher gates lead with. One map-side
+    projection over the staged tokens — no shuffle."""
     t = F.col(text_col)
-    staged = staged_tokens(docs, text_col)
+    staged = _stage_repetition(staged_tokens(docs, text_col), t)
     ntok = F.size("_toks")
     mean_len = F.length("_norm").cast("double") / ntok.cast("double")
     punct = punct_count(t).cast("double") / F.length(t).cast("double")
@@ -203,13 +295,23 @@ def quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     token_len_ok = (mean_len >= 2.0) & (mean_len <= 12.0)
     punct_ok = punct < 0.3
     stopword_ok = stop > 0.02
+    dup_line_ok, top2gram_ok = _repetition_rules()
     return staged.select(
         "doc_id",
         len_ok.alias("len_ok"),
         token_len_ok.alias("token_len_ok"),
         punct_ok.alias("punct_ok"),
         stopword_ok.alias("stopword_ok"),
-        (len_ok & token_len_ok & punct_ok & stopword_ok).alias("keep"),
+        dup_line_ok.alias("dup_line_ok"),
+        top2gram_ok.alias("top2gram_ok"),
+        (
+            len_ok
+            & token_len_ok
+            & punct_ok
+            & stopword_ok
+            & dup_line_ok
+            & top2gram_ok
+        ).alias("keep"),
     )
 
 
@@ -308,6 +410,7 @@ def pack_sequences(
     key_col: str = "doc_id",
     text_col: str = "text",
     n_groups: int = 32,
+    shuffle_salt: str | None = None,
 ) -> DataFrame:
     """Deterministic sequence packing — assign documents to
     fixed-token-budget packs for training-batch construction.
@@ -333,6 +436,14 @@ def pack_sequences(
     key. ``n_groups`` bounds the packing parallelism — size it to a few
     × total cores at scale (each group is one window task); changing it
     changes pack assignments, so fix it per dataset.
+
+    ``shuffle_salt`` packs in DETERMINISTIC-SHUFFLED order instead of
+    key order — what a training run actually wants (key order leaks
+    collection order into the batch sequence). In-group order becomes
+    ``(hash(salt:key), key)``: still a pure function of the key — fully
+    reproducible, engine-portable, re-drawable by changing the salt —
+    with zero extra shuffle (the window partitioning is unchanged; only
+    its sort key differs).
     Output: (key, pack_group, pack_id, n_tokens).
     """
     from .dedup import portable_hash64  # noqa: PLC0415 (avoid module cycle)
@@ -347,9 +458,21 @@ def pack_sequences(
     )
     from pyspark.sql import Window  # noqa: PLC0415
 
+    if shuffle_salt is not None:
+        toks = toks.withColumn(
+            "_ord",
+            portable_hash64(
+                F.concat(
+                    F.lit(f"{shuffle_salt}:"), F.col(key_col).cast("string")
+                )
+            ),
+        )
+        order = [F.col("_ord"), F.col(key_col)]
+    else:
+        order = [F.col(key_col)]
     w = (
         Window.partitionBy("pack_group")
-        .orderBy(key_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)

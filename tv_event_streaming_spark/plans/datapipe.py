@@ -46,6 +46,55 @@ _NORMSQ = (
     f"x -> {_Q.format(x='x')} * {_Q.format(x='x')})) AS DOUBLE)"
 )
 
+# SQL twins of the repetition gates (text._repetition_rules): trimmed
+# non-empty lines of the RAW text; ALL (non-distinct) word 2-grams; the
+# top-2-gram char mass as the quadratic max over distinct grams of
+# count·length — the Spark side computes the same max with a sorted
+# linear scan. Rule thresholds are rational, so both comparisons are
+# integer arithmetic on both engines.
+#
+# The array expressions are STAGED once per doc through the ``_QSTAGE``
+# derived table — DuckDB does not share subexpressions across lambda
+# boundaries, so inlining `_GRAMS2` into the quadratic max re-runs the
+# regex+split pipeline per distinct gram (measured 91 s vs <2 s at
+# sf0.01 for the staged form). Rule templates below therefore take the
+# staged COLUMN names, not raw expressions.
+_LINES = (
+    "list_transform(list_filter(string_split(text, chr(10)), "
+    "l -> trim(l) <> ''), l -> trim(l))"
+)
+_GRAMS2 = (
+    f"CASE WHEN len({_TOKS}) >= 2 THEN "
+    f"list_transform(range(1, len({_TOKS})), i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]) "
+    "ELSE [] END"
+)
+_QSTAGE = (
+    f"SELECT doc_id, text, {_LINES} AS _lines, {_GRAMS2} AS _grams2 "
+    "FROM documents"
+)
+_TOP2_OF = (
+    "COALESCE(list_max(list_transform(list_distinct({g}), "
+    "gg -> len(list_filter({g}, x -> x = gg)) * length(gg))), 0)"
+)
+_TOP2 = _TOP2_OF.format(g="_grams2")
+_DUP_LINE_OK = (
+    "(len(_lines) = 0 OR "
+    "10 * (len(_lines) - len(list_distinct(_lines))) < 3 * len(_lines))"
+)
+_TOP2_OK = f"(length({_NORM}) = 0 OR 5 * {_TOP2} < length({_NORM}))"
+
+# the full gate conjunction (text.quality_filter's `keep`); valid over
+# rows of ``_QSTAGE``
+_QUALITY_KEEP = f"""(len({_TOKS}) >= 5 AND len({_TOKS}) <= 100000)
+    AND (CAST(length({_NORM}) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) >= 2.0
+         AND CAST(length({_NORM}) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) <= 12.0)
+    AND (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         / CAST(length(text) AS DOUBLE) < 0.3)
+    AND (CAST(len(list_filter({_TOKS}, t -> t IN {_SW})) AS DOUBLE)
+         / CAST(len({_TOKS}) AS DOUBLE) > 0.02)
+    AND {_DUP_LINE_OK}
+    AND {_TOP2_OK}"""
+
 
 @register(
     "dedup_exact",
@@ -215,23 +264,45 @@ SELECT doc_id,
         / CAST(length(text) AS DOUBLE) < 0.3) AS punct_ok,
        (CAST(len(list_filter({_TOKS}, t -> t IN {_SW})) AS DOUBLE)
         / CAST(len({_TOKS}) AS DOUBLE) > 0.02) AS stopword_ok,
-       ((len({_TOKS}) >= 5 AND len({_TOKS}) <= 100000)
-        AND (CAST(length({_NORM}) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) >= 2.0
-             AND CAST(length({_NORM}) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) <= 12.0)
-        AND (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-             / CAST(length(text) AS DOUBLE) < 0.3)
-        AND (CAST(len(list_filter({_TOKS}, t -> t IN {_SW})) AS DOUBLE)
-             / CAST(len({_TOKS}) AS DOUBLE) > 0.02)) AS keep
-FROM documents
+       {_DUP_LINE_OK} AS dup_line_ok,
+       {_TOP2_OK} AS top2gram_ok,
+       ({_QUALITY_KEEP}) AS keep
+FROM ({_QSTAGE})
 """,
     doc="C4/Gopher-style rule-based quality gate: per-rule booleans "
-    "(length, mean token length, punctuation density, stopword density) "
-    "plus the conjunction verdict — filter AND per-rule drop-rate "
-    "reporting from one map-side projection",
+    "(length, mean token length, punctuation density, stopword density, "
+    "duplicate-line fraction, top-2-gram character share) plus the "
+    "conjunction verdict — filter AND per-rule drop-rate reporting from "
+    "one map-side projection",
     tags=("text", "filter"),
 )
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "repetition_metrics",
+    f"""
+SELECT doc_id,
+       CAST(len(_lines) AS INTEGER) AS n_lines,
+       CAST(len(_lines) - len(list_distinct(_lines)) AS INTEGER) AS n_dup_lines,
+       CAST({_TOP2} AS BIGINT) AS top2gram_chars,
+       CAST(length({_NORM}) AS INTEGER) AS n_chars,
+       {_DUP_LINE_OK} AS dup_line_ok,
+       {_TOP2_OK} AS top2gram_ok
+FROM ({_QSTAGE})
+""",
+    doc="Repetition signals (the gates production C4/Gopher curation "
+    "leads with): per-doc duplicate-line counts and the character mass "
+    "of the most-repeated word 2-gram, with the rule booleans. "
+    "All-integer metrics; the Spark side computes the top-2-gram max "
+    "with an O(n log n) sorted-array scan inside codegen while the "
+    "oracle uses the quadratic distinct-gram form — same max "
+    "(operators/text.py:repetition_metrics)",
+    tags=("text", "filter"),
+)
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.repetition_metrics(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -679,6 +750,41 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_lsh(emb, F.col("vec_id") < 5, k=5, dims=64, bits=8)
 
 
+@register(
+    "ann_cosine_lsh_multiprobe",
+    f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM sig WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec, bucket FROM sig),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a='qvec', b='cvec')}
+         / sqrt({_NORMSQ.format(v='qvec')} * {_NORMSQ.format(v='cvec')}) AS cos_sim
+  FROM q JOIN c ON bit_count(xor(q.bucket, c.bucket)) <= 1
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="Multi-probe LSH ANN: each query also probes the `bits` buckets "
+    "at Hamming distance 1 (query-side XOR-mask explode; the corpus-side "
+    "join stays an equi-join on bucket and the corpus is bucketed once). "
+    "The oracle states the SAME candidate set declaratively as "
+    "bit_count(xor) <= 1; recall-vs-probes pinned in "
+    "tests/test_similarity.py (operators/similarity.py:cosine_topk_lsh)",
+    tags=("similarity",),
+)
+def q_ann_cosine_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(
+        emb, F.col("vec_id") < 5, k=5, dims=64, bits=8, probe_hamming=1
+    )
+
+
 def _neardup_band_join_sql(bands: int = 4, bits_per_band: int = 8) -> str:
     """Candidate pairs sharing ≥1 of ``bands`` disjoint-plane band
     buckets — the SQL twin of similarity.allpairs_cosine_lsh's
@@ -782,14 +888,6 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_KEEP = f"""(len({_TOKS}) >= 5 AND len({_TOKS}) <= 100000)
-    AND (CAST(length({_NORM}) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) >= 2.0
-         AND CAST(length({_NORM}) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) <= 12.0)
-    AND (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-         / CAST(length(text) AS DOUBLE) < 0.3)
-    AND (CAST(len(list_filter({_TOKS}, t -> t IN {_SW})) AS DOUBLE)
-         / CAST(len({_TOKS}) AS DOUBLE) > 0.02)"""
-
 _SHINGLE3 = (
     f"unnest(list_distinct(list_transform(range(1, len({_TOKS})-1), "
     f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])))"
@@ -800,7 +898,7 @@ _SHINGLE3 = (
     "curation_pipeline",
     f"""
 WITH gated AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM ({_QSTAGE})
   WHERE {_QUALITY_KEEP}
 ),
 k AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5({_NORM})),
@@ -864,7 +962,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_pipeline_neardup",
     f"""
 WITH RECURSIVE gated AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM ({_QSTAGE})
   WHERE {_QUALITY_KEEP}
 ),
 k AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5({_NORM})),
@@ -1005,6 +1103,44 @@ FROM c
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.pack_sequences(
         load_table(spark, sf_dir, "documents"), budget_tokens=512
+    )
+
+
+@register(
+    "sequence_packing_shuffled",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         {_PH.format(x="CAST(doc_id AS VARCHAR)")} % 32 AS pack_group,
+         {_PH.format(x="'shuf:' || CAST(doc_id AS VARCHAR)")} AS ord,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, pack_group, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY ord, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, CAST(pack_group AS INTEGER) AS pack_group,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+       n_tokens
+FROM c
+""",
+    doc="Sequence packing in deterministic-SHUFFLED order (what a "
+    "training run wants — key order leaks collection order into the "
+    "batch sequence): in-group order is (hash('shuf:'||key), key), a "
+    "pure function of the key, so the shuffle is reproducible and "
+    "re-drawable by changing the salt, with zero extra exchanges over "
+    "key-ordered packing (operators/text.py:pack_sequences, "
+    "shuffle_salt='shuf')",
+    tags=("text", "packing"),
+)
+def q_sequence_packing_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        budget_tokens=512,
+        shuffle_salt="shuf",
     )
 
 
