@@ -50,6 +50,42 @@ def test_lsh_prunes_candidates(spark, emb_with_twins):
     assert 5 <= nl <= 25  # bucketing prunes, may return fewer than k per query
 
 
+def test_lsh_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe (Hamming-1 buckets) candidate sets are a SUPERSET of
+    the exact-bucket ones, so recall vs brute force can only go up —
+    and on the real embeddings table it strictly does (some true
+    neighbors sit one sign-flip away)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < 20
+    k = 5
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_bruteforce(emb, qf, k=k).collect()
+    }
+    def recall(probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk_lsh(
+                emb, qf, k=k, dims=64, bits=8, probe_hamming=probe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+    r0 = recall(0)
+    r1 = recall(1)
+    # the corpus embeddings are near-uniform random, so absolute recall
+    # is intrinsically low for ANY hyperplane-LSH here — the contract is
+    # the PROBE LEVER: Hamming-1 probing multiplies the candidate pool
+    # (bits+1 buckets) and must strictly lift recall (measured
+    # 0.02 -> 0.18 at sf0.001, 9x)
+    assert r1 > r0, f"multi-probe did not improve recall ({r0} -> {r1})"
+    assert r1 >= 0.1
+
+
+def test_lsh_multiprobe_rejects_bad_probe_count(spark, emb_with_twins):
+    with pytest.raises(ValueError):
+        S.cosine_topk_lsh(emb_with_twins, F.col("vec_id") < 5, probe_hamming=2)
+
+
 def test_near_duplicate_threshold(spark, emb_with_twins):
     pairs = S.embedding_near_duplicates(emb_with_twins, threshold=0.999)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
