@@ -178,24 +178,51 @@ def cosine_topk_lsh(
     bits: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """LSH-bucketed ANN: signature equi-join generates candidates, exact
-    quantized cosine re-ranks. Approximate — recall depends on bits; at
-    scale, add multi-probe or repeat with several signature seeds.
+    quantized cosine re-ranks. Approximate — recall depends on bits.
     Signatures are Arrow-vectorized (one int64 matmul per batch — see
     :func:`banded_signatures_vectorized`); the JVM expression form
     :func:`hyperplane_signature` computes the same buckets bit-for-bit
-    and remains for pure-JVM callers."""
+    and remains for pure-JVM callers.
+
+    ``probe_hamming`` is the multi-probe recall lever (the standard
+    scale trade: more probes beat more tables because the corpus side
+    is built ONCE): with ``probe_hamming=1`` each query ALSO probes the
+    ``bits`` buckets at Hamming distance 1 from its own (a true near
+    neighbor that lands one sign-flip away — the most likely miss —
+    is recovered). Implemented as a QUERY-side explode over the XOR
+    masks, keeping the corpus-side join an equi-join on ``bucket``
+    (never a popcount theta-join — that would defeat the bucket
+    shuffle/broadcast). Query cost multiplies by ``bits+1``; the corpus
+    is scanned and bucketed exactly once either way. A (query,
+    neighbor) pair matches at most one mask (their bucket XOR is
+    fixed), so no candidate dedup is needed."""
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming supports 0 (exact bucket) or 1")
     sig_udf = banded_signatures_vectorized(dims, 1, bits)
     sig = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
         F.element_at(sig_udf(F.col(vec_col)), 1).alias("bucket"),
     )
-    q = sig.filter(query_filter).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.col("bucket"),
+    masks = [0] + ([1 << i for i in range(bits)] if probe_hamming else [])
+    q = (
+        sig.filter(query_filter)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(
+                F.array(*[F.lit(m).cast("long") for m in masks])
+            ).alias("_mask"),
+            F.col("bucket").alias("_qbucket"),
+        )
+        .select(
+            "query_id",
+            "qvec",
+            F.col("_qbucket").bitwiseXOR(F.col("_mask")).alias("bucket"),
+        )
     )
     c = sig.select(
         F.col(id_col).alias("neighbor_id"),
