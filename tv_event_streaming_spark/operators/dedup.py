@@ -55,6 +55,54 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def incremental_duplicates(
+    base: DataFrame, new: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental exact dedup — the cross-snapshot form every rolling
+    crawl ingestion runs: classify each NEW document against the
+    already-curated base corpus AND against its own batch.
+
+    Returns (doc_id, status) for every new doc:
+
+    - ``dup_of_base``   — content hash already present in ``base``;
+    - ``dup_in_batch``  — novel vs base, but a smaller-id new doc in
+      this batch has the same content (keeper = min id, matching
+      :func:`exact_duplicates`);
+    - ``novel``         — the batch's keeper for previously-unseen
+      content; exactly these rows get appended to the corpus.
+
+    Scale shape: the 100 TB base is reduced map-side to DISTINCT
+    content hashes (in practice a pre-materialized hash index — the
+    natural incremental artifact); the new batch (small by definition)
+    joins against it on the 16-byte hash. One groupBy on the batch for
+    in-batch keepers, one join per classification — the base is never
+    shuffled on anything wider than the hash column."""
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.md5(
+                F.to_binary(normalized(F.col(text_col)), F.lit("utf-8"))
+            ).alias("content_hash"),
+        )
+
+    base_hashes = hashed(base).select("content_hash").distinct()
+    nh = hashed(new)
+    vs_base = nh.join(base_hashes, "content_hash", "left_semi").select(
+        "doc_id", F.lit("dup_of_base").alias("status")
+    )
+    novel_vs_base = nh.join(base_hashes, "content_hash", "left_anti")
+    keepers = novel_vs_base.groupBy("content_hash").agg(
+        F.min("doc_id").alias("_keeper")
+    )
+    in_batch = novel_vs_base.join(keepers, "content_hash").select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("_keeper"), F.lit("novel"))
+        .otherwise(F.lit("dup_in_batch"))
+        .alias("status"),
+    )
+    return vs_base.unionAll(in_batch)
+
+
 def _shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     staged = staged_tokens(docs, text_col)
     return staged.select(

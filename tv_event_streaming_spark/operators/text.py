@@ -495,6 +495,52 @@ def pack_sequences(
     )
 
 
+def length_bucketed_batches(
+    docs: DataFrame,
+    bucket_tokens: int = 64,
+    batch_size: int = 32,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the dataloader trick that cuts
+    padding waste: documents whose token counts land in the same
+    ``bucket_tokens``-wide length bucket are batched together (a batch
+    pads to its longest member, so same-length batches waste the least),
+    ``batch_size`` docs per batch in deterministic ``key_col`` order.
+
+    Output (key, n_tokens, len_bucket, batch_id, batch_slot) — all
+    integer arithmetic (`div`/`pmod` on a per-bucket row_number), so the
+    assignment is bit-identical on any engine and reproducible across
+    runs/partitionings.
+
+    Scale shape: one window per length bucket. Bucket COUNT is small
+    (max plausible doc length / bucket_tokens), so at 100 TB compose the
+    window key with a hash sub-group exactly like
+    :func:`pack_sequences`'s ``pack_group`` if per-bucket row counts
+    exceed one task's comfort — the semantics stay per-(bucket,
+    sub-group) deterministic."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    toks = docs.select(
+        F.col(key_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "len_bucket",
+        F.expr(f"n_tokens div {int(bucket_tokens)}").cast("int"),
+    )
+    w = Window.partitionBy("len_bucket").orderBy(key_col)
+    staged = toks.withColumn(
+        "_rn", (F.row_number().over(w) - 1).cast("long")
+    )
+    return staged.select(
+        key_col,
+        "n_tokens",
+        "len_bucket",
+        F.expr(f"_rn div {int(batch_size)}").cast("long").alias("batch_id"),
+        F.pmod(F.col("_rn"), F.lit(batch_size)).cast("int").alias("batch_slot"),
+    )
+
+
 def top_terms(
     docs: DataFrame, k: int = 5, text_col: str = "text", max_df: int | None = None
 ) -> DataFrame:

@@ -1145,6 +1145,96 @@ def q_sequence_packing_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental",
+    f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+  WHERE doc_id % 2 = 1 AND doc_id % 10 = 5
+),
+bh AS (SELECT DISTINCT md5({_NORM}) AS ch FROM base),
+nh AS (SELECT doc_id, md5({_NORM}) AS ch FROM newb),
+vs AS (SELECT doc_id, 'dup_of_base' AS status FROM nh
+       WHERE ch IN (SELECT ch FROM bh)),
+nv AS (SELECT doc_id, ch FROM nh WHERE ch NOT IN (SELECT ch FROM bh)),
+k AS (SELECT ch, min(doc_id) AS keeper FROM nv GROUP BY ch)
+SELECT doc_id, status FROM vs
+UNION ALL
+SELECT nv.doc_id,
+       CASE WHEN nv.doc_id = k.keeper THEN 'novel' ELSE 'dup_in_batch' END
+         AS status
+FROM nv JOIN k USING (ch)
+""",
+    doc="Incremental cross-snapshot exact dedup — the rolling-crawl "
+    "ingestion step: classify each NEW doc as dup_of_base (hash already "
+    "curated), dup_in_batch (novel content but a smaller-id batch twin "
+    "is the keeper), or novel (append these). Base corpus reduces "
+    "map-side to distinct 16-byte hashes; the batch joins on the hash "
+    "only. Exercised over a deterministic even/odd snapshot split with "
+    "injected base- and batch-copies so all three statuses fire "
+    "(operators/dedup.py:incremental_duplicates)",
+    tags=("dedup", "curation"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    new = (
+        odd.select("doc_id", "text")
+        .unionAll(
+            base.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            odd.filter(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return D.incremental_duplicates(base, new)
+
+
+@register(
+    "length_bucketed_batches",
+    f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(n_tokens // 16 AS INTEGER) AS len_bucket
+  FROM t
+),
+r AS (
+  SELECT doc_id, n_tokens, len_bucket,
+         row_number() OVER (PARTITION BY len_bucket ORDER BY doc_id) - 1 AS rn
+  FROM b
+)
+SELECT doc_id, n_tokens, len_bucket,
+       CAST(rn // 8 AS BIGINT) AS batch_id,
+       CAST(rn % 8 AS INTEGER) AS batch_slot
+FROM r
+""",
+    doc="Length-bucketed batch assignment (padding-waste reduction): "
+    "same-length-bucket docs batched together, 8 per batch, "
+    "deterministic key order — all-integer div/mod on a per-bucket "
+    "row_number, bit-identical on any engine "
+    "(operators/text.py:length_bucketed_batches)",
+    tags=("text", "packing"),
+)
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.length_bucketed_batches(
+        load_table(spark, sf_dir, "documents"), bucket_tokens=16, batch_size=8
+    )
+
+
+@register(
     "top_terms_tfdf",
     f"""
 WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
