@@ -359,3 +359,82 @@ def test_range_join_matches_bruteforce(spark, lefts, rights):
         if lk == rk and ls - 3600 < rs <= ls
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    base_ids=st.lists(st.integers(0, 50), max_size=12, unique=True),
+    new_docs=st.lists(
+        st.tuples(st.integers(100, 160), st.integers(0, 60)),  # (id, content)
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_incremental_dedup_matches_python_reference(spark, base_ids, new_docs):
+    """Status classification equals the pure-Python reference for
+    arbitrary base/batch content overlap: dup_of_base iff the content
+    is in the base hash set; otherwise the min-id batch doc per content
+    is novel, the rest dup_in_batch. The three statuses PARTITION the
+    batch."""
+    from tv_event_streaming_spark.operators.dedup import incremental_duplicates
+
+    # content c encoded as a deterministic text "w<c>"
+    base = spark.createDataFrame(
+        [(i, f"w{i % 7}") for i in base_ids] or [(999_999, "sentinel")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, f"w{c}") for i, c in new_docs], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in incremental_duplicates(base, new).collect()}
+    base_contents = {i % 7 for i in base_ids} if base_ids else set()
+    keeper: dict[int, int] = {}
+    for i, c in sorted(new_docs):
+        if c not in base_contents:
+            keeper.setdefault(c, i)
+    want = {
+        i: (
+            "dup_of_base"
+            if c in base_contents
+            else ("novel" if keeper[c] == i else "dup_in_batch")
+        )
+        for i, c in new_docs
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(1, 50)),  # (id, n words)
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    bucket=st.integers(2, 16),
+    batch=st.integers(1, 8),
+)
+def test_length_bucketed_batches_matches_python_reference(
+    spark, docs, bucket, batch
+):
+    """Batch assignment equals the pure-Python per-bucket enumeration;
+    implies every (len_bucket, batch_id) holds at most `batch` docs and
+    batches never mix length buckets."""
+    from tv_event_streaming_spark.operators.text import length_bucketed_batches
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in docs], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.len_bucket, r.batch_id, r.batch_slot)
+        for r in length_bucketed_batches(
+            df, bucket_tokens=bucket, batch_size=batch
+        ).collect()
+    }
+    counters: dict[int, int] = {}
+    for i, n in sorted(docs):
+        lb = n // bucket
+        rn = counters.get(lb, 0)
+        counters[lb] = rn + 1
+        assert got[i] == (n, lb, rn // batch, rn % batch), (i, n, lb, rn)
