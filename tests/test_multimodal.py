@@ -76,3 +76,32 @@ def test_decoder_registry_roundtrip(spark, sf_dir):
 
     with pytest.raises(KeyError):
         M.get_decoder("not-registered")
+
+
+def test_sample_frames_partition_payload_at_stride_one(spark, sf_dir):
+    """every_nth=1 yields ALL frames: offsets/lengths tile the payload
+    exactly (no gaps, no overlap) and the byte sums add up to the whole
+    payload's byte sum — the invariant that makes the sampled (every
+    4th) catalog entry's arithmetic trustworthy."""
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = M.attach_binary_payload(docs)
+    frames = {}
+    for r in M.sample_frames(media, every_nth=1).collect():
+        frames.setdefault(r.doc_id, []).append(r)
+    for r in docs.collect():
+        payload = r.text.encode("utf-8")
+        n = len(payload) % 30 + 1
+        rows = sorted(frames[r.doc_id], key=lambda x: x.frame_index)
+        assert [x.frame_index for x in rows] == list(range(n))
+        pos = 0
+        for x in rows:
+            assert x.frame_offset == pos
+            pos += x.frame_len
+        assert pos == len(payload)
+        assert sum(x.frame_byte_sum for x in rows) == sum(payload)
+
+
+def test_sample_frames_rejects_bad_stride(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    with pytest.raises(ValueError):
+        M.sample_frames(M.attach_binary_payload(docs), every_nth=0)

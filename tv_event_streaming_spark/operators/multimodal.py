@@ -156,6 +156,61 @@ def extract_features(
     return flat.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = (
+    "doc_id long, frame_index int, frame_offset int, frame_len int, "
+    "frame_byte_sum long"
+)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 4) -> DataFrame:
+    """Frame sampling over video/audio payloads — the ROW-EXPANDING
+    ``mapInPandas`` shape a real frame pipeline has (1 input row →
+    n_sampled output rows), with the codec stubbed behind the same
+    deterministic fake layout as :func:`extract_features`:
+    ``n_frames = byte_size % 30 + 1`` and frame ``i`` spans payload
+    bytes ``[i·size/n, (i+1)·size/n)`` (floor arithmetic). Every
+    ``every_nth`` frame (always including frame 0) yields one output
+    row with its offset, length, and byte sum — all integers, so the
+    fake path is byte-exact against the SQL oracle while the Spark
+    plumbing (Arrow batching, schema, row expansion, downstream
+    shuffle shape) is the production one. Swap the loop body for a
+    registered decoder's frame iterator to go real."""
+    if every_nth < 1:
+        raise ValueError("every_nth must be >= 1")
+
+    # self-contained closure — see extract_features NOTE
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in batches:
+            ids, idxs, offs, lens, sums = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                size = len(payload)
+                n = size % 30 + 1
+                for i in range(0, n, every_nth):
+                    a = i * size // n
+                    b = (i + 1) * size // n
+                    seg = payload[a:b]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(a)
+                    lens.append(b - a)
+                    sums.append(int(sum(seg)))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "frame_index": _pd.Series(idxs, dtype="int32"),
+                    "frame_offset": _pd.Series(offs, dtype="int32"),
+                    "frame_len": _pd.Series(lens, dtype="int32"),
+                    "frame_byte_sum": _pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata projection (no UDF): the query-able face of the
     multimodal table."""

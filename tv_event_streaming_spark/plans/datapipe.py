@@ -1329,3 +1329,40 @@ FROM documents
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return M.extract_features(M.attach_binary_payload(docs), fake=True)
+
+
+@register(
+    "multimodal_frames",
+    """
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS bs
+  FROM documents
+),
+f AS (
+  SELECT doc_id, hx, bs, bs % 30 + 1 AS n,
+         unnest(range(0, bs % 30 + 1, 4)) AS i
+  FROM m
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_index,
+       CAST(i * bs // n AS INTEGER) AS frame_offset,
+       CAST((i + 1) * bs // n - i * bs // n AS INTEGER) AS frame_len,
+       CAST(COALESCE(list_sum(list_transform(
+              range(i * bs // n + 1, (i + 1) * bs // n + 1),
+              j -> CAST(concat('0x', substring(hx, 2*j - 1, 2)) AS INTEGER))), 0)
+            AS BIGINT) AS frame_byte_sum
+FROM f
+""",
+    doc="Frame sampling over binary payloads: one output row per "
+    "sampled frame (every 4th of the deterministic fake layout "
+    "n_frames = byte_size %% 30 + 1, frame i = bytes "
+    "[i*size/n, (i+1)*size/n)) — the row-EXPANDING Arrow mapInPandas "
+    "shape a real video pipeline has, byte-exact against the oracle's "
+    "hex arithmetic; decode swaps in via the decoder registry "
+    "(operators/multimodal.py:sample_frames)",
+    tags=("multimodal",),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.sample_frames(M.attach_binary_payload(docs), every_nth=4)
