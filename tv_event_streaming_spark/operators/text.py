@@ -495,6 +495,43 @@ def pack_sequences(
     )
 
 
+def featurehash_embeddings(
+    docs: DataFrame,
+    dims: int = 64,
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Train-free text embeddings by token feature hashing (the classic
+    hashing trick): ``v[hash(token) mod dims] = count`` — a
+    bag-of-words vector in a fixed ``dims``-dim space, no vocabulary,
+    no model. Connects the text tier to the ANN/near-dup tier: the
+    output frame (key, ``embedding array<double>`` of exact integer
+    counts) plugs directly into ``similarity.cosine_topk_bruteforce`` /
+    ``allpairs_cosine_lsh`` and stays quantization-exact (counts are
+    integers, so floor(x·1e6) loses nothing).
+
+    Scale shape: ENTIRELY map-side — per doc an O(dims·n_tokens)
+    expression inside whole-stage codegen (hash list staged once, then
+    one count per dim), zero shuffles and no UDF. ``portable=True``
+    uses the md5-slice hash for oracle checking; default xxhash64 is
+    the scale path."""
+    from .dedup import portable_hash64  # noqa: PLC0415 (avoid module cycle)
+
+    staged = staged_tokens(docs, text_col)
+    base = (
+        (lambda c: portable_hash64(c)) if portable else (lambda c: F.xxhash64(c))
+    )
+    hs = F.transform(F.col("_toks"), lambda t: F.pmod(base(t), F.lit(dims)))
+    staged = staged.withColumn("_hs", hs)
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda i: F.size(F.filter("_hs", lambda h: h == i.cast("long"))).cast(
+            "double"
+        ),
+    )
+    return staged.select("doc_id", emb.alias("embedding"))
+
+
 def length_bucketed_batches(
     docs: DataFrame,
     bucket_tokens: int = 64,
@@ -539,6 +576,59 @@ def length_bucketed_batches(
         F.expr(f"_rn div {int(batch_size)}").cast("long").alias("batch_id"),
         F.pmod(F.col("_rn"), F.lit(batch_size)).cast("int").alias("batch_slot"),
     )
+
+
+def percentile_length_gate(
+    docs: DataFrame,
+    drop_permille: int = 50,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-RELATIVE length gate: drop the ``drop_permille``/1000
+    shortest documents (by token count, ties broken by key) — the
+    distribution-relative form real curation uses alongside absolute
+    thresholds (an absolute cut tuned for web text guts a code corpus).
+    ``drop_permille`` is an integer so the cutoff k = N·p/1000 is exact
+    rational arithmetic on both engines (never float percentiles, whose
+    interpolation rules differ across engines).
+
+    Scale shape — equivalent to rank > k under the total order
+    (n_tokens, key), WITHOUT a global window (which would serialize the
+    corpus through one task): global rank decomposes as
+    (#docs with smaller count) + (in-value rank by key). The first term
+    is a cumulative sum over the token-count HISTOGRAM — thousands of
+    rows however big the corpus, so its ordered window is trivially
+    single-task — broadcast-joined back; the second is a window
+    partitioned BY COUNT VALUE, parallel across values (a degenerate
+    corpus concentrated on one value serializes that value's rank —
+    sub-bucket by hashed key ranges if that ever matters). N rides the
+    same histogram (sum of bucket counts), so no driver-side count().
+    Output: surviving (key, n_tokens)."""
+    if not 0 <= drop_permille <= 1000:
+        raise ValueError("drop_permille must be in [0, 1000]")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    staged = docs.select(
+        F.col(key_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    hist = staged.groupBy("n_tokens").agg(F.count("*").alias("_c"))
+    wh = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hist = hist.withColumn(
+        "_below", F.coalesce(F.sum("_c").over(wh), F.lit(0).cast("long"))
+    )
+    total = hist.agg(F.sum("_c").alias("_n"))
+    wv = Window.partitionBy("n_tokens").orderBy(key_col)
+    ranked = (
+        staged.join(F.broadcast(hist.select("n_tokens", "_below")), "n_tokens")
+        .withColumn("_rank", F.col("_below") + F.row_number().over(wv))
+        .crossJoin(F.broadcast(total))
+    )
+    return ranked.filter(
+        F.col("_rank") > F.expr(f"(_n * {int(drop_permille)}) div 1000")
+    ).select(key_col, "n_tokens")
 
 
 def top_terms(

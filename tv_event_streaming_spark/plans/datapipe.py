@@ -1144,6 +1144,78 @@ def q_sequence_packing_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FH = f"list_transform({_TOKS}, t -> {_PH.format(x='t')} % 64)"
+
+
+@register(
+    "doc_embeddings_fh",
+    f"""
+WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT doc_id, {_PH.format(x="tok")} % 64 AS dim FROM tk)
+SELECT doc_id, CAST(dim AS INTEGER) AS dim, CAST(count(*) AS INTEGER) AS cnt
+FROM h GROUP BY doc_id, dim
+""",
+    doc="Train-free feature-hash embeddings (hashing trick): "
+    "v[hash(token) mod 64] = count — no vocabulary, no model, pure "
+    "map-side O(dims*n) expression inside codegen, zero shuffle; entry "
+    "emits the nonzero (doc, dim, count) triples (the Spark side "
+    "posexplodes its vector; the oracle states the same sparse form as "
+    "an explode + groupBy) (operators/text.py:featurehash_embeddings)",
+    tags=("text", "similarity"),
+)
+def q_doc_embeddings_fh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fh = TX.featurehash_embeddings(
+        load_table(spark, sf_dir, "documents"), dims=64, portable=True
+    )
+    return (
+        fh.select("doc_id", F.posexplode("embedding").alias("dim", "_c"))
+        .filter(F.col("_c") > 0)
+        .select("doc_id", "dim", F.col("_c").cast("int").alias("cnt"))
+    )
+
+
+@register(
+    "docs_bow_cosine_topk",
+    f"""
+WITH st AS (SELECT doc_id, {_FH} AS hs FROM documents),
+e AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+                        i -> CAST(len(list_filter(hs, h -> h = i)) AS DOUBLE))
+           AS emb
+  FROM st
+),
+q AS (SELECT doc_id AS query_id, emb AS qv FROM e WHERE doc_id < 5),
+c AS (SELECT doc_id AS neighbor_id, emb AS cv FROM e),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a='qv', b='cv')}
+         / sqrt({_NORMSQ.format(v='qv')} * {_NORMSQ.format(v='cv')}) AS cos_sim
+  FROM q JOIN c ON query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="Bag-of-words cosine top-k over the DOCUMENTS table end-to-end: "
+    "feature-hash embeddings (map-side, no model) feed the existing "
+    "broadcast brute-force ANN operator unchanged — text-to-vector-to-"
+    "neighbors in one composed plan, quantization-exact because the "
+    "vector components are integer counts. The LSH/IVF tiers accept "
+    "the same frame for the 100 TB path",
+    tags=("text", "similarity"),
+)
+def q_docs_bow_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fh = TX.featurehash_embeddings(
+        load_table(spark, sf_dir, "documents"), dims=64, portable=True
+    )
+    return S.cosine_topk_bruteforce(
+        fh, F.col("doc_id") < 5, k=5, id_col="doc_id", vec_col="embedding"
+    )
+
+
 @register(
     "dedup_incremental",
     f"""
@@ -1231,6 +1303,34 @@ FROM r
 def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.length_bucketed_batches(
         load_table(spark, sf_dir, "documents"), bucket_tokens=16, batch_size=8
+    )
+
+
+@register(
+    "percentile_length_gate",
+    f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+n AS (SELECT count(*) AS n FROM t),
+r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens, doc_id) AS rk
+  FROM t
+)
+SELECT doc_id, n_tokens FROM r, n WHERE rk > n * 50 // 1000
+""",
+    doc="Corpus-relative length gate: drop the shortest 5%% of docs by "
+    "token count (ties by id) — integer-permille cutoff, never float "
+    "percentiles. The oracle states it as a global rank; the Spark plan "
+    "decomposes that rank into histogram-cumsum + per-value window so "
+    "no global ordered window ever touches the corpus "
+    "(operators/text.py:percentile_length_gate)",
+    tags=("text", "filter"),
+)
+def q_percentile_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.percentile_length_gate(
+        load_table(spark, sf_dir, "documents"), drop_permille=50
     )
 
 
