@@ -178,3 +178,37 @@ def test_decontaminate_max_eval_df_drops_boilerplate(spark):
         for r in D.decontaminate(docs, eval_docs, max_eval_df=2).collect()
     }
     assert capped == {2}, "boilerplate-only match must drop under the cap"
+
+
+def test_interdoc_ngram_overlap_semantics(spark):
+    """A doc whose shingles all reappear elsewhere is fully shared
+    (dup_frac 1.0, flagged); a doc with unique content is not."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, shared),  # exact shingle twin of 1
+            (3, "totally unique words nowhere else repeated at all here"),
+            # half-shared: 3 tokens shared with 1/2 give 1 shared 3-gram,
+            # plus unique tail shingles
+            (4, "alpha beta gamma unique tail of document four"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in D.interdoc_ngram_overlap(docs, n=3).collect()
+    }
+    assert rows[1].dup_frac == 1.0 and rows[1].flagged
+    assert rows[2].dup_frac == 1.0 and rows[2].flagged
+    assert rows[3].n_shared == 0 and not rows[3].flagged
+    assert 0 < rows[4].n_shared < rows[4].n_shingles
+    assert not rows[4].flagged
+    # portable path agrees with the xxhash64 default
+    p = {
+        r.doc_id: (r.n_shingles, r.n_shared, r.flagged)
+        for r in D.interdoc_ngram_overlap(docs, n=3, portable=True).collect()
+    }
+    assert p == {
+        k: (v.n_shingles, v.n_shared, v.flagged) for k, v in rows.items()
+    }

@@ -593,6 +593,72 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 8) -> DataFrame
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def interdoc_ngram_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    portable: bool = False,
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Corpus-INTERNAL n-gram duplication — for each document, the
+    fraction of its distinct word ``n``-grams that also occur in at
+    least one OTHER document. This is the within-corpus mirror of
+    :func:`decontaminate` (which probes against an external eval set)
+    and the document-level duplication signal web-scale curation
+    pipelines gate on: a doc whose shingles are mostly shared is
+    boilerplate or a near-copy even when no single pair-wise Jaccard
+    crosses the near-dup threshold (e.g. a mosaic of many templates).
+
+    Returns (doc_id, n_shingles, n_shared, dup_frac, flagged) with
+    ``flagged`` ⇔ ``dup_frac > flag_threshold``, compared in integer
+    arithmetic (``1e6·n_shared > round(1e6·threshold)·n_shingles``) so
+    the verdict is exact on any engine.
+
+    Scale shape: shingles are hashed to 8-byte longs (xxhash64 default;
+    md5-slice :func:`portable_hash64` for the oracle-checked entry), so
+    the document-frequency groupBy, the df join-back, and the per-doc
+    count shuffle longs — never shingle strings. A shingle's df only
+    distinguishes 1 vs >1 here, and the per-shingle partial counts
+    collapse map-side, so no hot-shingle guard is needed: a boilerplate
+    shingle in every doc is ONE row after the df aggregation, not a
+    candidate-pair explosion (this metric never forms pairs at all —
+    that is what keeps it linear where tier-2/3 pair generation is
+    not)."""
+    base = (
+        (lambda c: portable_hash64(c)) if portable else (lambda c: F.xxhash64(c))
+    )
+    sh = _shingles(docs, text_col, n).select(
+        "doc_id", base(F.col("shingle")).alias("sh")
+    )
+    # feeds the df-count branch AND the join-back probe side — persist so
+    # tokenize+shingle+hash runs once (disk-spillable; ContextCleaner
+    # frees the blocks — see ngram_jaccard_pairs)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    dfc = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    thr = round(flag_threshold * 1_000_000)
+    return (
+        sh.join(dfc, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("dup_frac"),
+            (
+                F.col("n_shared") * F.lit(1_000_000)
+                > F.lit(thr) * F.col("n_shingles")
+            ).alias("flagged"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,

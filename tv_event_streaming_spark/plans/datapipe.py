@@ -854,6 +854,35 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interdoc_ngram_overlap",
+    f"""
+WITH {_SH_CTE},
+h AS (SELECT doc_id, {_PH.format(x="shingle")} AS sh FROM sh),
+dfc AS (SELECT sh, count(*) AS df FROM h GROUP BY sh)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_frac,
+       (1000000 * sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+          > 500000 * count(*)) AS flagged
+FROM h JOIN dfc USING (sh)
+GROUP BY doc_id
+""",
+    doc="Corpus-internal n-gram duplication fraction per document — the "
+    "within-corpus mirror of decontaminate and the document-level "
+    "boilerplate signal web-scale curation gates on. Linear, never forms "
+    "pairs: df groupBy on 8-byte hashed shingles + join-back + per-doc "
+    "count (operators/dedup.py:interdoc_ngram_overlap); flag verdict in "
+    "integer arithmetic",
+    tags=("dedup", "curation"),
+)
+def q_interdoc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.interdoc_ngram_overlap(docs, n=3, portable=True)
+
+
+@register(
     "stratified_sample",
     f"""
 SELECT doc_id, media_type FROM (
