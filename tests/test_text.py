@@ -134,3 +134,68 @@ def test_table_profile_approx_error_bound(spark, sf_dir):
     assert set(exact) == set(approx)
     for c, n in exact.items():
         assert abs(approx[c] - n) <= max(1, 0.05 * n), (c, n, approx[c])
+
+
+def test_token_fluency_gates(spark):
+    """Docs made of corpus-common tokens gate as fluent; a doc of
+    tokens nowhere in the reference slice is all-OOV and gated out."""
+    common = "data table query row column value " * 10
+    rows = [(i, common.strip()) for i in range(20)]
+    rows.append((99, "zzqx wvut qqqq plmn zzzz xyxy"))  # garbage doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.token_fluency(docs, ref_frac=0.5).collect()}
+    garbage = out[99]
+    # all-OOV unless doc 99 itself landed in the reference slice; in
+    # either case its mean frequency sits far below the common docs'
+    assert garbage.n_oov in (0, garbage.n_tokens)
+    fluent_docs = [r for i, r in out.items() if i != 99]
+    assert all(r.fluent and r.oov_ok for r in fluent_docs)
+    assert garbage.mean_freq < min(r.mean_freq for r in fluent_docs)
+    assert not garbage.fluent
+    # deterministic: same salt → identical verdicts
+    again = {r.doc_id: r.fluent for r in TX.token_fluency(docs).collect()}
+    assert again == {i: r.fluent for i, r in out.items()}
+
+
+def test_mixture_plan_and_materialize(spark):
+    """Plan targets decompose exactly (target = repeats·avail +
+    frac-epoch remainder); materialization hits the target tokens
+    within one partial-epoch draw's tolerance and is deterministic."""
+    rows = [(i, "tok " * 10, "web") for i in range(50)] + [
+        (100 + i, "tok " * 10, "books") for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string",
+    )
+    # web: 50 docs x 10 tok = 500 avail; books: 10 x 10 = 100 avail
+    plan = TX.mixture_plan(
+        docs, {"web": 0.25, "books": 0.75}, budget_tokens=1000
+    )
+    p = {r.source: r for r in plan.collect()}
+    assert p["web"].avail_tokens == 500 and p["books"].avail_tokens == 100
+    # web target 250 = 0 full epochs + 50% partial; books 750 = 7 full + 50%
+    assert p["web"].n_repeats == 0 and p["web"].frac_ppm == 500000
+    assert p["books"].n_repeats == 7 and p["books"].frac_ppm == 500000
+    # decomposition identity holds exactly
+    for r in p.values():
+        assert (
+            r.n_repeats * r.avail_tokens
+            + (r.frac_ppm * r.avail_tokens) // 1_000_000
+            <= r.target_tokens
+        )
+    out = TX.materialize_mixture(docs, plan).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append((r.doc_id, r.epoch))
+    # every books doc appears in epochs 0..6 unconditionally
+    books = by_src["books"]
+    for e in range(7):
+        assert sum(1 for _, ep in books if ep == e) == 10
+    # realized tokens within half the target for the 50%-partial draws
+    web_tokens = 10 * len(by_src["web"])
+    assert 100 <= web_tokens <= 400  # target 250, hash-gate half of 500
+    # deterministic
+    again = sorted((r.doc_id, r.epoch) for r in
+                   TX.materialize_mixture(docs, plan).collect())
+    assert again == sorted((r.doc_id, r.epoch) for r in out)

@@ -660,3 +660,183 @@ def top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "df")
     )
+
+
+def token_fluency(
+    docs: DataFrame,
+    text_col: str = "text",
+    ref_frac: float = 0.5,
+    salt: str = "lmref",
+    max_oov_frac: float = 0.5,
+) -> DataFrame:
+    """Count-based LM fluency scoring — the shape of the CCNet/KenLM
+    perplexity filter with the n-gram LM replaced by an exact unigram
+    count model, so every verdict is integer arithmetic (a log-prob
+    scorer differs in the last ulp across libm implementations and
+    would not be oracle-hashable; the count form preserves the gate's
+    semantics — rare/garbage token mass scores low — while staying
+    engine-exact).
+
+    Train: unigram counts over a deterministic reference slice of the
+    corpus (``hash(salt:doc_id) mod 1e6 < ref_frac·1e6``, the same
+    md5-slice gate as :func:`stratified_sample` — at scale the slice
+    would be a curated high-quality subset; the gate is the sandbox
+    stand-in). Score: every document by its token's reference counts.
+
+    Output per doc: ``n_tokens``, ``sum_freq`` (Σ reference count of
+    each token occurrence), ``n_oov`` (occurrences of tokens absent
+    from the reference), ``mean_freq`` (one final double division), and
+    two gates —
+
+    - ``fluent``: mean token probability under the reference unigram LM
+      exceeds the uniform baseline ``1/|vocab|``, i.e.
+      ``sum_freq·|vocab| > n_tokens·N_ref`` — self-normalizing (no
+      corpus-size-dependent threshold) and all-integer;
+    - ``oov_ok``: OOV fraction ≤ ``max_oov_frac``, compared as
+      ``1e6·n_oov ≤ round(1e6·max_oov_frac)·n_tokens``.
+
+    Scale shape: the count model is vocabulary-sized (Zipf — tiny next
+    to the corpus) → broadcast left join on the token; the 1-row
+    (|vocab|, N_ref) aggregate attaches as a broadcast cross-join; the
+    only corpus-sized shuffle is the per-doc groupBy, whose partials
+    collapse map-side. Changing ``salt`` redraws the reference slice."""
+    from .dedup import portable_hash64  # noqa: PLC0415 (avoid module cycle)
+
+    toks = staged_tokens(docs, text_col).select(
+        "doc_id", F.explode("_toks").alias("t")
+    )
+    gate = F.pmod(
+        portable_hash64(
+            F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))
+        ),
+        F.lit(1_000_000),
+    ) < F.lit(round(ref_frac * 1_000_000))
+    ref_counts = (
+        toks.filter(gate).groupBy("t").agg(F.count("*").alias("c"))
+    )
+    totals = ref_counts.agg(
+        F.count("*").alias("_vocab"), F.sum("c").alias("_nref")
+    )
+    oov_thr = round(max_oov_frac * 1_000_000)
+    scored = (
+        toks.join(F.broadcast(ref_counts), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("sum_freq"),
+            F.sum(F.col("c").isNull().cast("long")).alias("n_oov"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_freq",
+        "n_oov",
+        (
+            F.col("sum_freq").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("mean_freq"),
+        (
+            F.col("sum_freq") * F.col("_vocab")
+            > F.col("n_tokens") * F.col("_nref")
+        ).alias("fluent"),
+        (
+            F.col("n_oov") * F.lit(1_000_000)
+            <= F.lit(oov_thr) * F.col("n_tokens")
+        ).alias("oov_ok"),
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Data-mixture planning — the Dolma/Pile-style step that turns
+    per-source mixing weights plus a total token budget into an
+    executable sampling plan: per stratum, how many FULL epochs of the
+    stratum to take (``n_repeats``) and what fraction of one more epoch
+    (``frac_ppm``, parts-per-million) closes the gap to the stratum's
+    token target.
+
+    All arithmetic is integer (weights enter as ``round(w·1e6)`` ppm;
+    targets and epoch splits are integer div/mod), so the plan is
+    bit-identical on any engine. The ppm split requires
+    ``(target mod avail)·1e6`` to fit int64 — per-stratum corpora up to
+    ~9·10^12 tokens; switch the two ppm constants to DECIMAL(38,0)
+    arithmetic beyond that.
+
+    Output: (stratum, n_docs, avail_tokens, weight_ppm, target_tokens,
+    n_repeats, frac_ppm). One groupBy on the stratum — partials
+    collapse map-side; the plan frame is strata-sized (tiny)."""
+    avail = docs.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("avail_tokens"),
+    )
+    w = F.lit(round(default_weight * 1_000_000))
+    for s, wt in sorted(weights.items()):
+        w = F.when(F.col(stratum_col) == s, F.lit(round(wt * 1_000_000))).otherwise(w)
+    return (
+        avail.withColumn("weight_ppm", w.cast("long"))
+        .withColumn(
+            "target_tokens",
+            F.expr(f"{int(budget_tokens)} * weight_ppm div 1000000"),
+        )
+        .withColumn("n_repeats", F.expr("target_tokens div avail_tokens"))
+        .withColumn(
+            "frac_ppm",
+            F.expr("((target_tokens % avail_tokens) * 1000000) div avail_tokens"),
+        )
+    )
+
+
+def materialize_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Execute a :func:`mixture_plan`: emit (key, stratum, epoch) rows —
+    every doc of a stratum appears in epochs ``0..n_repeats-1``
+    unconditionally, and in the final partial epoch ``n_repeats`` iff
+    its salted hash bucket clears ``frac_ppm`` (the same deterministic
+    md5-slice gate as :func:`stratified_sample`, salted per epoch so
+    the partial epoch is an independent draw). Reproducible on any
+    engine/partitioning; changing ``salt`` redraws only the partial
+    epoch.
+
+    Scale shape: the plan is strata-sized → broadcast join; the epoch
+    explode and hash gate are pure map-side — the corpus is never
+    shuffled. Downstream packing/shuffling keys on (epoch, key)."""
+    from .dedup import portable_hash64  # noqa: PLC0415 (avoid module cycle)
+
+    joined = docs.select(key_col, stratum_col).join(
+        F.broadcast(plan.select(stratum_col, "n_repeats", "frac_ppm")),
+        stratum_col,
+    )
+    ex = joined.select(
+        key_col,
+        stratum_col,
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_repeats"))
+        ).alias("epoch"),
+        "n_repeats",
+        "frac_ppm",
+    )
+    bucket = F.pmod(
+        portable_hash64(
+            F.concat(
+                F.lit(f"{salt}:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col(key_col).cast("string"),
+            )
+        ),
+        F.lit(1_000_000),
+    )
+    return ex.filter(
+        (F.col("epoch") < F.col("n_repeats")) | (bucket < F.col("frac_ppm"))
+    ).select(key_col, stratum_col, "epoch")

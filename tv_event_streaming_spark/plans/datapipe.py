@@ -883,6 +883,135 @@ def q_interdoc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_fluency",
+    f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+refc AS (
+  SELECT t, count(*) AS c FROM tok
+  WHERE {_PH.format(x="'lmref:' || CAST(doc_id AS VARCHAR)")} % 1000000 < 500000
+  GROUP BY t
+),
+tot AS (SELECT count(*) AS v, sum(c) AS nref FROM refc),
+sc AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         sum(COALESCE(c, 0)) AS sum_freq,
+         sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tok LEFT JOIN refc USING (t)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum_freq AS BIGINT) AS sum_freq,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       CAST(sum_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_freq,
+       (sum_freq * v > n_tokens * nref) AS fluent,
+       (1000000 * n_oov <= 500000 * n_tokens) AS oov_ok
+FROM sc, tot
+""",
+    doc="Count-based LM fluency gate — the CCNet/KenLM perplexity-filter "
+    "shape with an exact unigram count model (log-prob scoring is not "
+    "cross-engine hashable; the count form keeps the semantics integer-"
+    "exact). Trains on a deterministic hash-gated reference slice, "
+    "scores every doc, gates on mean-token-probability > uniform "
+    "baseline and OOV fraction. Vocab-sized model broadcasts; only "
+    "corpus shuffle is the per-doc groupBy "
+    "(operators/text.py:token_fluency)",
+    tags=("text", "curation"),
+)
+def q_token_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.token_fluency(docs, ref_frac=0.5, max_oov_frac=0.5)
+
+
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.25, "src2": 0.2}
+_MIX_DEFAULT = 0.15
+_MIX_BUDGET = 2_000_000
+_MIX_PLAN_CTE = f"""avail AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY source
+),
+wp AS (
+  SELECT source, n_docs, avail_tokens,
+         CAST(CASE source WHEN 'src0' THEN 400000 WHEN 'src1' THEN 250000
+              WHEN 'src2' THEN 200000 ELSE 150000 END AS BIGINT) AS weight_ppm
+  FROM avail
+),
+tgt AS (
+  SELECT source, n_docs, avail_tokens, weight_ppm,
+         CAST(({_MIX_BUDGET} * weight_ppm) // 1000000 AS BIGINT) AS target_tokens
+  FROM wp
+),
+plan AS (
+  SELECT source, n_docs, avail_tokens, weight_ppm, target_tokens,
+         CAST(target_tokens // avail_tokens AS BIGINT) AS n_repeats,
+         CAST(((target_tokens % avail_tokens) * 1000000) // avail_tokens
+              AS BIGINT) AS frac_ppm
+  FROM tgt
+)"""
+
+
+@register(
+    "mixture_plan",
+    f"""
+WITH {_MIX_PLAN_CTE}
+SELECT source, n_docs, avail_tokens, weight_ppm, target_tokens,
+       n_repeats, frac_ppm
+FROM plan
+""",
+    doc="Data-mixture planning (Dolma/Pile-style): per-source mixing "
+    "weights + a total token budget -> full-epoch repeat counts and a "
+    "ppm fractional-epoch rate per source, all-integer arithmetic. One "
+    "strata groupBy; the plan frame is tiny "
+    "(operators/text.py:mixture_plan)",
+    tags=("text", "sampling", "curation"),
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.mixture_plan(
+        docs, _MIX_WEIGHTS, _MIX_BUDGET, default_weight=_MIX_DEFAULT
+    )
+
+
+@register(
+    "mixture_materialize",
+    f"""
+WITH {_MIX_PLAN_CTE},
+j AS (
+  SELECT doc_id, source, n_repeats, frac_ppm
+  FROM documents JOIN plan USING (source)
+),
+-- the JOIN is staged into its own CTE: DuckDB's binder cannot resolve
+-- an unnest alias computed in the same query block as a USING join
+ex AS (
+  SELECT doc_id, source, n_repeats, frac_ppm,
+         unnest(range(0, n_repeats + 1)) AS epoch
+  FROM j
+)
+SELECT doc_id, source, epoch
+FROM ex
+WHERE epoch < n_repeats
+   OR {_PH.format(x="'mix:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")}
+      % 1000000 < frac_ppm
+""",
+    doc="Execute the mixture plan: (doc, source, epoch) rows — full "
+    "epochs unconditional, the final partial epoch gated by a per-epoch "
+    "salted md5-slice hash bucket (deterministic, engine-portable, "
+    "redrawable by salt). Plan broadcasts; epoch explode + gate are pure "
+    "map-side — the corpus is never shuffled "
+    "(operators/text.py:materialize_mixture)",
+    tags=("text", "sampling", "curation"),
+)
+def q_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    plan = TX.mixture_plan(
+        docs, _MIX_WEIGHTS, _MIX_BUDGET, default_weight=_MIX_DEFAULT
+    )
+    return TX.materialize_mixture(docs, plan)
+
+
+@register(
     "stratified_sample",
     f"""
 SELECT doc_id, media_type FROM (
