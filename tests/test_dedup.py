@@ -212,3 +212,41 @@ def test_interdoc_ngram_overlap_semantics(spark):
     assert p == {
         k: (v.n_shingles, v.n_shared, v.flagged) for k, v in rows.items()
     }
+
+
+def test_shared_span_pairs_exact_span_length(spark):
+    """A copied passage embedded in otherwise-different documents is
+    found with its exact token length, even when pair Jaccard is low."""
+    passage = " ".join(f"p{i}" for i in range(20))  # 20-token copied span
+    filler_a = " ".join(f"a{i}" for i in range(80))
+    filler_b = " ".join(f"b{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler_a} {passage}"),
+            (2, f"{passage} {filler_b}"),
+            (3, "unrelated content entirely " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    rows = D.shared_span_pairs(docs, n=3, min_span_tokens=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.max_span_tokens == 20
+    # the pair's Jaccard is low (20 shared of ~100 tokens each) — the
+    # span pass catches what the set-overlap tiers would rank far down
+    jac = D.ngram_jaccard_pairs(docs).filter(
+        (F.col("doc_a") == 1) & (F.col("doc_b") == 2)
+    ).collect()[0].jaccard
+    assert jac < 0.15
+    # below the threshold nothing is reported
+    assert (
+        D.shared_span_pairs(docs, n=3, min_span_tokens=21).count() == 0
+    )
+    # portable path agrees with the xxhash64 default
+    p = D.shared_span_pairs(
+        docs, n=3, min_span_tokens=10, portable=True
+    ).collect()
+    assert [(x.doc_a, x.doc_b, x.max_span_tokens) for x in p] == [
+        (r.doc_a, r.doc_b, r.max_span_tokens)
+    ]

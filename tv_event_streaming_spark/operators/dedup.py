@@ -659,6 +659,94 @@ def interdoc_ngram_overlap(
     )
 
 
+def shared_span_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_span_tokens: int = 10,
+    max_doc_freq: int | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Verbatim-overlap dedup — the distributed approximation of
+    exact-substring deduplication (the suffix-array ExactSubstr pass of
+    Lee et al. 2021): for every document pair sharing a run of at least
+    ``min_span_tokens`` CONSECUTIVE tokens, report the longest such
+    shared span. Pairwise Jaccard misses this class — two long docs
+    sharing one copied paragraph have low set overlap but high training
+    impact, which is why real pipelines run a substring pass after the
+    shingle tiers.
+
+    Algorithm (no suffix array — pure DataFrame ops): positional
+    ``n``-gram shingles (position kept, NOT distinct), equi-join on the
+    hashed shingle across doc pairs, then gaps-and-islands per
+    (pair, ``pos_a − pos_b`` diagonal): a shared span of L tokens is a
+    run of L−n+1 consecutive matched positions on one diagonal, found
+    with ``pos − row_number()`` island ids. Output:
+    (doc_a, doc_b, max_span_tokens, n_matches).
+
+    Scale shape: the join ships 8-byte hashed shingles (xxhash64
+    default, md5-slice portable for the oracle); ``max_doc_freq`` drops
+    shingles present in more than that many documents before the pair
+    join — the same hot-shingle candidate-explosion guard as
+    :func:`ngram_jaccard_pairs` (a span through a dropped hot shingle
+    splits into two shorter reported spans — conservative, never
+    invents overlap). The island windows partition by
+    (pair, diagonal) — many small partitions, never a global sort."""
+    base = (
+        (lambda c: portable_hash64(c)) if portable else (lambda c: F.xxhash64(c))
+    )
+    staged = staged_tokens(docs, text_col)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("_toks"), i + k) for k in range(n)]
+    )
+    idx = F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+    pos_sh = (
+        staged.filter(F.size("_toks") >= n)
+        .select("doc_id", F.posexplode(F.transform(idx, gram)))
+        .select("doc_id", F.col("pos").alias("p"), base(F.col("col")).alias("sh"))
+    )
+    if max_doc_freq is not None:
+        hot = (
+            pos_sh.select("doc_id", "sh")
+            .distinct()
+            .groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        pos_sh = pos_sh.join(hot, "sh", "left_anti")
+    # both sides of the pair join read the same positional-shingle frame —
+    # persist so tokenize+shingle+hash runs once (disk-spillable; freed by
+    # ContextCleaner — see ngram_jaccard_pairs)
+    pos_sh = pos_sh.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = pos_sh.alias("a"), pos_sh.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.p").alias("pa"),
+        (F.col("a.p") - F.col("b.p")).alias("diag"),
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        matches.withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count("*").alias("run"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run") + F.lit(n - 1)).alias("max_span_tokens"),
+            F.sum("run").alias("n_matches"),
+        )
+        .filter(F.col("max_span_tokens") >= min_span_tokens)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,

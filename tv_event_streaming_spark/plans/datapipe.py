@@ -924,6 +924,50 @@ def q_token_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_fluency(docs, ref_frac=0.5, max_oov_frac=0.5)
 
 
+@register(
+    "shared_span_pairs",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+pos AS (
+  SELECT doc_id, i AS p,
+         {_PH.format(x="tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS sh
+  FROM toks, unnest(range(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 3
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, a.p - b.p AS diag
+  FROM pos a JOIN pos b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, diag,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+           AS island
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, count(*) AS run
+  FROM isl GROUP BY doc_a, doc_b, diag, island
+)
+SELECT doc_a, doc_b,
+       CAST(max(run) + 2 AS BIGINT) AS max_span_tokens,
+       CAST(sum(run) AS BIGINT) AS n_matches
+FROM runs GROUP BY doc_a, doc_b
+HAVING max(run) + 2 >= 10
+""",
+    doc="Verbatim-overlap dedup (ExactSubstr approximation, Lee et al. "
+    "2021): longest shared consecutive-token span per doc pair via "
+    "positional 3-gram shingles + gaps-and-islands runs per (pair, "
+    "diagonal) — catches copied passages that pairwise Jaccard misses. "
+    "Hashed 8-byte join keys; island windows partition per (pair, "
+    "diagonal), never a global sort "
+    "(operators/dedup.py:shared_span_pairs)",
+    tags=("dedup", "join"),
+)
+def q_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.shared_span_pairs(docs, n=3, min_span_tokens=10, portable=True)
+
+
 _MIX_WEIGHTS = {"src0": 0.4, "src1": 0.25, "src2": 0.2}
 _MIX_DEFAULT = 0.15
 _MIX_BUDGET = 2_000_000
