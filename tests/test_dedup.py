@@ -250,3 +250,21 @@ def test_shared_span_pairs_exact_span_length(spark):
     assert [(x.doc_a, x.doc_b, x.max_span_tokens) for x in p] == [
         (r.doc_a, r.doc_b, r.max_span_tokens)
     ]
+
+
+def test_leakage_safe_splits_cluster_atomic(spark, docs_with_dups):
+    """All members of a near-dup cluster land in the same split; the
+    split set over clusters matches plain hash_split on cluster_id."""
+    pairs = D.minhash_dedup(docs_with_dups, threshold=0.7)
+    out = D.leakage_safe_splits(docs_with_dups, pairs).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # exact copies (doc_id + OFFSET) must share their original's split
+    split_of = {r.doc_id: r.split for r in out}
+    for r in out:
+        if r.doc_id >= OFFSET:
+            continue
+        assert split_of[r.doc_id + OFFSET] == split_of[r.doc_id]
+    assert {r.split for r in out} == {"train", "val", "test"}

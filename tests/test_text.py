@@ -199,3 +199,29 @@ def test_mixture_plan_and_materialize(spark):
     again = sorted((r.doc_id, r.epoch) for r in
                    TX.materialize_mixture(docs, plan).collect())
     assert again == sorted((r.doc_id, r.epoch) for r in out)
+
+
+def test_curation_report_counts_are_additive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rep = {r.source: r for r in TX.curation_report(docs).collect()}
+    qf = TX.quality_filter(docs)
+    total_keep = qf.filter(F.col("keep")).count()
+    assert sum(r.keep_n for r in rep.values()) == total_keep
+    assert sum(r.n_docs for r in rep.values()) == docs.count()
+    for r in rep.values():
+        assert 0 <= r.keep_n <= r.n_docs
+        assert abs(r.keep_rate - r.keep_n / r.n_docs) < 1e-12
+
+
+def test_vocab_coverage_curve(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = TX.vocab_coverage(docs, top_k=20).orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) >= 6  # vocab must be at least this deep for the checks
+    # counts non-increasing, coverage strictly increasing and <= 1
+    assert all(a.n_occ >= b.n_occ for a, b in zip(rows, rows[1:]))
+    assert all(a.coverage < b.coverage for a, b in zip(rows, rows[1:]))
+    assert rows[-1].coverage <= 1.0
+    # cum_count telescopes
+    assert rows[0].cum_count == rows[0].n_occ
+    assert rows[5].cum_count == sum(r.n_occ for r in rows[:6])

@@ -497,6 +497,35 @@ def neardup_clusters(
     )
 
 
+def leakage_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test assignment that is ATOMIC per near-dup cluster:
+    resolve the pair graph to connected components
+    (:func:`neardup_clusters`), then hash-split on the CLUSTER id — so
+    a document and all its near-duplicates always land in the same
+    split. Splitting on the raw doc id leaks: a test doc's near-copy in
+    train inflates eval scores exactly like verbatim contamination,
+    which is why production pipelines split after (or by) dedup
+    clustering, never before.
+
+    Output: (id, cluster_id, split). Deterministic on any engine
+    (md5-slice hash gate, same contract as ``text.hash_split``);
+    singleton clusters (cluster_id = own id) degrade to plain hash
+    splitting. Beyond the cluster resolution itself the assignment is
+    map-side — no extra shuffle."""
+    from .text import hash_split  # noqa: PLC0415 (avoid module cycle)
+
+    clusters = neardup_clusters(docs, pairs, id_col)
+    return hash_split(
+        clusters, key_col="cluster_id", val_pct=val_pct, test_pct=test_pct
+    ).select(id_col, "cluster_id", "split")
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", portable: bool = False
 ) -> DataFrame:

@@ -274,14 +274,19 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_filter(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Rule-based keep/drop verdict per document (the C4/Gopher-style
     curation gate): emits each rule's boolean plus the conjunction, so
     downstream can both filter and report per-rule drop rates. Rules:
     shape (length, mean token length, punctuation, stopwords) AND the
     repetition signals (duplicate-line fraction, top-2-gram character
     share) that production C4/Gopher gates lead with. One map-side
-    projection over the staged tokens — no shuffle."""
+    projection over the staged tokens — no shuffle. ``keep_cols``
+    passes named input columns through unchanged (so a rollup like
+    :func:`curation_report` avoids a corpus-sized self-join back onto
+    the gated frame)."""
     t = F.col(text_col)
     staged = _stage_repetition(staged_tokens(docs, text_col), t)
     ntok = F.size("_toks")
@@ -298,6 +303,7 @@ def quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     dup_line_ok, top2gram_ok = _repetition_rules()
     return staged.select(
         "doc_id",
+        *keep_cols,
         len_ok.alias("len_ok"),
         token_len_ok.alias("token_len_ok"),
         punct_ok.alias("punct_ok"),
@@ -847,3 +853,92 @@ def materialize_mixture(
     return ex.filter(
         (F.col("epoch") < F.col("n_repeats")) | (bucket < F.col("frac_ppm"))
     ).select(key_col, stratum_col, "epoch")
+
+
+_QF_RULES = (
+    "len_ok",
+    "token_len_ok",
+    "punct_ok",
+    "stopword_ok",
+    "dup_line_ok",
+    "top2gram_ok",
+)
+
+
+def curation_report(
+    docs: DataFrame, stratum_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source curation dashboard — the rollup every large-scale
+    cleaning pass publishes alongside the filtered corpus: per stratum,
+    document and token mass, each gate rule's pass count, and the
+    overall keep rate. Absolute counts (not just rates) so reports from
+    disjoint corpus shards ADD — the property that lets a 100 TB report
+    be computed per-partition and merged.
+
+    Shape: the gate booleans ride :func:`quality_filter`'s map-side
+    projection (``keep_cols`` carries the stratum and token count
+    through — no corpus self-join), then ONE groupBy(stratum) whose
+    integer partials collapse map-side. keep_rate is the single final
+    double division."""
+    staged = docs.withColumn(
+        "_ntok", token_count(F.col(text_col)).cast("long")
+    )
+    qf = quality_filter(staged, text_col, keep_cols=(stratum_col, "_ntok"))
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("_ntok").alias("n_tokens"),
+        *[
+            F.sum(F.col(r).cast("long")).alias(f"{r}_n")
+            for r in _QF_RULES
+        ],
+        F.sum(F.col("keep").cast("long")).alias("keep_n"),
+    ]
+    return qf.groupBy(stratum_col).agg(*aggs).withColumn(
+        "keep_rate",
+        F.col("keep_n").cast("double") / F.col("n_docs").cast("double"),
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame, top_k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-prep vocabulary statistics: the top-``top_k`` tokens by
+    corpus frequency with their cumulative occurrence coverage — the
+    curve that sizes a vocabulary (how many types cover 95% of the
+    token mass) before training a tokenizer.
+
+    Output: (rank, token, n_occ, cum_count, coverage) ordered by rank;
+    ties broken by token so the ranking is total and engine-exact.
+    coverage = cum_count/total as the single final double division.
+
+    Scale shape: the corpus collapses to VOCABULARY-sized (token,
+    count) rows via one map-side-combining groupBy; the ordered rank
+    window then runs over the vocab table, not the corpus — fine up to
+    ~1e8 types in one task's sort. For degenerate vocabularies beyond
+    that, decompose the global rank exactly like
+    :func:`percentile_length_gate` decomposes its global length rank
+    (count-histogram cumsum + per-count windows). The 1-row total
+    attaches as a broadcast."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    toks = staged_tokens(docs, text_col).select(
+        "doc_id", F.explode("_toks").alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n_occ"))
+    total = counts.agg(F.sum("n_occ").alias("_total"))
+    w = Window.orderBy(F.desc("n_occ"), F.asc("token"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_count", F.sum("n_occ").over(wc))
+        .filter(F.col("rank") <= top_k)
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        F.col("rank").cast("int").alias("rank"),
+        "token",
+        "n_occ",
+        "cum_count",
+        (
+            F.col("cum_count").cast("double") / F.col("_total").cast("double")
+        ).alias("coverage"),
+    )

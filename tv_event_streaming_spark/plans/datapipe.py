@@ -253,10 +253,9 @@ def q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.hash_split(docs, val_pct=10, test_pct=10).select("doc_id", "split")
 
 
-@register(
-    "quality_filter",
-    f"""
-SELECT doc_id,
+# the per-rule quality-gate SELECT, shared by the quality_filter entry
+# and the per-source curation_report rollup
+_QF_SELECT = f"""SELECT doc_id,
        (len({_TOKS}) >= 5 AND len({_TOKS}) <= 100000) AS len_ok,
        (CAST(length({_NORM}) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) >= 2.0
         AND CAST(length({_NORM}) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) <= 12.0) AS token_len_ok,
@@ -267,7 +266,13 @@ SELECT doc_id,
        {_DUP_LINE_OK} AS dup_line_ok,
        {_TOP2_OK} AS top2gram_ok,
        ({_QUALITY_KEEP}) AS keep
-FROM ({_QSTAGE})
+FROM ({_QSTAGE})"""
+
+
+@register(
+    "quality_filter",
+    f"""
+{_QF_SELECT}
 """,
     doc="C4/Gopher-style rule-based quality gate: per-rule booleans "
     "(length, mean token length, punctuation density, stopword density, "
@@ -278,6 +283,67 @@ FROM ({_QSTAGE})
 )
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_report",
+    f"""
+WITH qf AS ({_QF_SELECT}),
+d AS (SELECT doc_id, source, len({_TOKS}) AS ntok FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS len_ok_n,
+       CAST(sum(CASE WHEN token_len_ok THEN 1 ELSE 0 END) AS BIGINT) AS token_len_ok_n,
+       CAST(sum(CASE WHEN punct_ok THEN 1 ELSE 0 END) AS BIGINT) AS punct_ok_n,
+       CAST(sum(CASE WHEN stopword_ok THEN 1 ELSE 0 END) AS BIGINT) AS stopword_ok_n,
+       CAST(sum(CASE WHEN dup_line_ok THEN 1 ELSE 0 END) AS BIGINT) AS dup_line_ok_n,
+       CAST(sum(CASE WHEN top2gram_ok THEN 1 ELSE 0 END) AS BIGINT) AS top2gram_ok_n,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS keep_n,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS keep_rate
+FROM d JOIN qf USING (doc_id)
+GROUP BY source
+""",
+    doc="Per-source curation dashboard: doc/token mass, per-rule gate "
+    "pass counts, keep rate. Additive absolute counts so shard reports "
+    "merge; gate booleans ride the map-side quality_filter projection "
+    "(keep_cols passthrough — no corpus self-join) into ONE "
+    "groupBy(source) (operators/text.py:curation_report)",
+    tags=("text", "curation", "agg"),
+)
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.curation_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_coverage",
+    f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occ FROM tok GROUP BY token),
+tot AS (SELECT sum(n_occ) AS total FROM counts),
+ranked AS (
+  SELECT token, n_occ,
+         row_number() OVER (ORDER BY n_occ DESC, token ASC) AS rank,
+         sum(n_occ) OVER (ORDER BY n_occ DESC, token ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_count
+  FROM counts
+)
+SELECT CAST(rank AS INTEGER) AS rank, token, n_occ,
+       CAST(cum_count AS BIGINT) AS cum_count,
+       CAST(cum_count AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+FROM ranked, tot
+WHERE rank <= 100
+""",
+    doc="Tokenizer-prep vocab statistics: top-100 tokens with cumulative "
+    "occurrence coverage (the vocabulary-sizing curve). Corpus collapses "
+    "map-side to vocab-sized counts; the rank window runs over the vocab "
+    "table only (operators/text.py:vocab_coverage)",
+    tags=("text", "agg"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.vocab_coverage(load_table(spark, sf_dir, "documents"), top_k=100)
 
 
 @register(
@@ -698,6 +764,54 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.simhash_signatures(docs, portable=True), max_hamming=8
     )
     return D.neardup_clusters(docs, pairs)
+
+
+@register(
+    "leakage_safe_splits",
+    f"""
+WITH RECURSIVE {_simhash_sig_cte()},
+q AS (
+  SELECT doc_id, simhash, t.q, (simhash >> (t.q * 16)) & 65535 AS quarter
+  FROM sig, (VALUES (0), (1), (2), (3)) t(q)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM q a JOIN q b ON a.q = b.q AND a.quarter = b.quarter AND a.doc_id < b.doc_id
+),
+p AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 8),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node
+),
+cl AS (
+  SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {_PH.format(x="CAST(cluster_id AS VARCHAR)")} % 100 < 10
+              THEN 'val'
+            WHEN {_PH.format(x="CAST(cluster_id AS VARCHAR)")} % 100 < 20
+              THEN 'test'
+            ELSE 'train' END AS split
+FROM cl
+""",
+    doc="Leakage-safe train/val/test splits: near-dup clusters (SimHash "
+    "pairs -> connected components) hash-split ATOMICALLY by cluster id, "
+    "so a test doc's near-copy can never sit in train. Deterministic "
+    "md5-slice gate; map-side beyond the cluster resolution "
+    "(operators/dedup.py:leakage_safe_splits)",
+    tags=("dedup", "curation", "iterative"),
+)
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_pairs(
+        D.simhash_signatures(docs, portable=True), max_hamming=8
+    )
+    return D.leakage_safe_splits(docs, pairs)
 
 
 def _lsh_bucket_sql(
