@@ -15,10 +15,11 @@ reach the highest-risk entries first), three STRICT tiers:
    round — their old evidence is stale. Staleness is MECHANICAL, not
    curated (rounds 2-4 used a hand-maintained tuple; a forgotten entry
    would silently carry stale evidence): an entry is stale iff its
-   content fingerprint (build-fn source + oracle SQL + transitive
-   referenced-module file hashes, see
-   ``tv_event_streaming_spark/evidence.py``) differs from the
-   fingerprint of its last-green round's git tree, recorded in
+   content fingerprint (build-fn source + oracle SQL + the SOURCES of
+   every package function/class it can transitively reach, with
+   whole-module-file fallback only for statically-unresolvable
+   references — see ``tv_event_streaming_spark/evidence.py``) differs
+   from the fingerprint of its last-green round's git tree, recorded in
    ``EVIDENCE.json`` by ``tools/update_evidence.py``. Re-greened
    entries age out automatically when the tool absorbs the new
    CORRECTNESS file (run at round start; test-gated);

@@ -88,26 +88,71 @@ def test_evidence_file_absorbed_latest_correctness_round():
     assert not missing, f"green entries without evidence record: {missing}"
 
 
-def test_stale_detection_reacts_to_module_content(tmp_path):
-    """The fingerprint actually covers the module closure: flipping a
-    byte in a referenced operator module changes the entry fingerprint;
-    an untouched entry's fingerprint is stable across recomputation."""
+def test_stale_detection_reacts_to_function_source(tmp_path):
+    """Round-5 granularity contract, both directions.
+
+    (a) Editing the SOURCE of a function an entry can reach changes
+    that entry's fingerprint (staleness still catches real changes);
+    (b) an additive change to a shared module — bytes appended after
+    the last function, the new-entry-added-to-text.py case that marked
+    34 green entries stale in round 5 and overflowed the driver's
+    50-entry budget — changes NO fingerprint, because entries hash the
+    sources of the functions they reach, not whole module files."""
+    import inspect as real_inspect
+
     from tv_event_streaming_spark import evidence as EV
 
     before = EV.fingerprint_catalog()
     assert before == EV.fingerprint_catalog()  # deterministic
-    # simulate an edit to operators/text.py via the module-file map
-    modfiles = EV.package_module_files()
+
+    # (a) simulate a body edit in every operators.text function
     text_mod = "tv_event_streaming_spark.operators.text"
+
+    class EditedInspect:
+        def __getattr__(self, a):
+            return getattr(real_inspect, a)
+
+        @staticmethod
+        def getsource(obj):
+            src = real_inspect.getsource(obj)
+            if getattr(obj, "__module__", "") == text_mod:
+                src += "\n# edited\n"
+            return src
+
+    EV.inspect = EditedInspect()
+    try:
+        after = EV.fingerprint_catalog()
+    finally:
+        EV.inspect = real_inspect
+    assert before["sequence_packing"] != after["sequence_packing"]  # reaches text.py
+    assert before["token_counts"] != after["token_counts"]
+    assert before["ann_cosine_ivf"] == after["ann_cosine_ivf"]  # does not
+
+    # (b) appending to the module FILE (new unrelated function) stales nothing
+    modfiles = EV.package_module_files()
     patched = dict(modfiles)
     fake = tmp_path / "text.py"
-    fake.write_bytes(open(modfiles[text_mod], "rb").read() + b"\n# edit\n")
+    fake.write_bytes(open(modfiles[text_mod], "rb").read() + b"\n\ndef _new(): pass\n")
     patched[text_mod] = str(fake)
     orig = EV.package_module_files
     EV.package_module_files = lambda: patched
     try:
-        after = EV.fingerprint_catalog()
+        additive = EV.fingerprint_catalog()
     finally:
         EV.package_module_files = orig
-    assert before["sequence_packing"] != after["sequence_packing"]
-    assert before["ann_cosine_ivf"] == after["ann_cosine_ivf"]
+    assert additive == before
+
+    # fallback modules still re-fingerprint at file granularity: schemas.py
+    # holds non-callable schema objects the envelope entries reference
+    schemas_mod = "tv_event_streaming_spark.schemas"
+    patched2 = dict(modfiles)
+    fake2 = tmp_path / "schemas.py"
+    fake2.write_bytes(open(modfiles[schemas_mod], "rb").read() + b"\n# edit\n")
+    patched2[schemas_mod] = str(fake2)
+    EV.package_module_files = lambda: patched2
+    try:
+        fb = EV.fingerprint_catalog()
+    finally:
+        EV.package_module_files = orig
+    assert before["envelope_roundtrip"] != fb["envelope_roundtrip"]
+    assert before["ann_cosine_ivf"] == fb["ann_cosine_ivf"]

@@ -15,10 +15,21 @@ This module replaces the hand list with content fingerprints:
   the ``@register`` decorator, so the oracle EXPRESSION and doc travel
   with it),
 - the evaluated oracle SQL string (module-level constants folded in),
-- the file bytes of every package module the build function references
-  (names/attributes resolved through ``__globals__`` plus in-function
-  imports), transitively closed over package-internal imports, and
-- the repr of any primitive module-level constants the function reads.
+- the SOURCE of every package function/class the build function can
+  reach — names and ``module.attr`` accesses resolved through
+  ``__globals__``, closure cells, and in-function imports, then closed
+  transitively over each callee's own references (function-level
+  granularity: adding an unrelated function to a shared module does
+  NOT re-fingerprint every entry in that module, which matters once
+  the risky tier must fit the driver's ~50-entry budget),
+- a canonical repr of any primitive/container/regex module-level
+  constants the closure reads, and
+- for anything NOT statically resolvable to a specific object (a bare
+  module reference with unresolved attributes, a registry dict, a
+  schema object, a failed ``getsource``), the file bytes of the
+  defining module, transitively closed over package-internal imports —
+  the old file-level rule, kept as the conservative fallback so
+  dynamic dispatch still re-prioritizes.
 
 ``tools/update_evidence.py`` records, per entry, the fingerprint AS OF
 THE GIT TREE the driver tested in the entry's last green round
@@ -64,13 +75,14 @@ def package_module_files() -> dict[str, str]:
     return out
 
 
-def _resolve_from(mod: str, node: ast.ImportFrom, modfiles: dict[str, str]) -> set[str]:
-    """Package-internal modules referenced by a from-import, with
-    relative levels resolved against the importing module's package."""
+def _abs_base(mod: str, node: ast.ImportFrom, modfiles: dict[str, str]) -> str | None:
+    """Absolute module path a from-import targets, with relative levels
+    resolved against the importing module's package; None if the import
+    is not package-internal."""
     if node.level == 0:
         base = node.module or ""
         if not base.startswith(PKG):
-            return set()
+            return None
     else:
         # package of `mod`: drop the trailing component for plain modules
         pkg_parts = mod.split(".")
@@ -81,6 +93,15 @@ def _resolve_from(mod: str, node: ast.ImportFrom, modfiles: dict[str, str]) -> s
         if node.level - 1:
             parts = parts[: -(node.level - 1)]
         base = ".".join(parts + ([node.module] if node.module else []))
+    return base
+
+
+def _resolve_from(mod: str, node: ast.ImportFrom, modfiles: dict[str, str]) -> set[str]:
+    """Package-internal modules referenced by a from-import, with
+    relative levels resolved against the importing module's package."""
+    base = _abs_base(mod, node, modfiles)
+    if base is None:
+        return set()
     found = set()
     if base in modfiles:
         found.add(base)
@@ -122,36 +143,207 @@ def _closure(seeds: set[str], modfiles: dict[str, str], cache: dict[str, set[str
     return seen
 
 
-def _entry_refs(build_fn, modfiles: dict[str, str]) -> tuple[set[str], list[str]]:
-    """(package modules, primitive-constant reprs) the build function
-    references — via bare names resolved through its globals, plus any
-    imports written inside the function body."""
-    src = textwrap.dedent(inspect.getsource(build_fn))
-    tree = ast.parse(src)
-    names = {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
-    g = build_fn.__globals__
-    mods: set[str] = set()
-    consts: list[str] = []
-    for n in sorted(names):
-        v = g.get(n)
-        if v is None:
+def _const_repr(v, depth: int = 0):
+    """Canonical deterministic repr for constant-ish values; None when
+    the value is not constant-representable. Sets hash-order-dependent
+    iteration is neutralized by sorting element reprs (plain set repr
+    order varies with PYTHONHASHSEED across driver runs)."""
+    import re as _re  # noqa: PLC0415
+
+    if depth > 6:
+        return None
+    if v is None or isinstance(v, (str, bytes, int, float, bool)):
+        return repr(v)
+    if isinstance(v, _re.Pattern):
+        return f"re.compile({v.pattern!r}, {int(v.flags)})"
+    if isinstance(v, (list, tuple)):
+        parts = [_const_repr(x, depth + 1) for x in v]
+        if any(p is None for p in parts):
+            return None
+        lo, hi = ("[", "]") if isinstance(v, list) else ("(", ")")
+        return lo + ", ".join(parts) + hi
+    if isinstance(v, (set, frozenset)):
+        parts = [_const_repr(x, depth + 1) for x in v]
+        if any(p is None for p in parts):
+            return None
+        return "{" + ", ".join(sorted(parts)) + "}"
+    if isinstance(v, dict):
+        items = []
+        for k, val in v.items():
+            kr = _const_repr(k, depth + 1)
+            vr = _const_repr(val, depth + 1)
+            if kr is None or vr is None:
+                return None
+            items.append(f"{kr}: {vr}")
+        return "{" + ", ".join(sorted(items)) + "}"
+    return None
+
+
+def _defining_module(v, modfiles: dict[str, str]) -> str | None:
+    """Package module whose namespace holds `v` (identity scan) — used
+    to pin non-constant, non-callable globals (registry dicts, schema
+    objects) to a file for the conservative fallback."""
+    import sys  # noqa: PLC0415
+
+    for m in modfiles:
+        mod = sys.modules.get(m)
+        if mod is None:
             continue
+        for val in vars(mod).values():
+            if val is v:
+                return m
+    return None
+
+
+def _entry_closure(
+    build_fn, modfiles: dict[str, str]
+) -> tuple[dict[str, str], set[str], set[str]]:
+    """Function-level reachability closure of a build function.
+
+    Returns ({qualified name: source}, {constant reprs}, {fallback
+    modules}). Every package function/class reachable from the build fn
+    through resolved names, ``module.attr`` accesses, closure cells, and
+    in-function imports contributes its SOURCE; anything that cannot be
+    pinned to a specific object degrades that reference to the defining
+    module's whole file (the pre-round-5 rule)."""
+    import importlib  # noqa: PLC0415
+
+    sources: dict[str, str] = {}
+    consts: set[str] = set()
+    fallback: set[str] = set()
+    seen: list = []  # pins objects so id() reuse can't alias
+    seen_ids: set[int] = set()
+    frontier: list = [build_fn]
+
+    def add_obj(v, owner_mod: str, name: str = "") -> None:
+        """Route a resolved value: package callables join the frontier,
+        constants fold into the hash, everything else falls back to its
+        defining module's file."""
+        if inspect.ismethod(v):
+            v = v.__func__
+        if inspect.isfunction(v) or inspect.isclass(v):
+            if getattr(v, "__module__", "").startswith(PKG):
+                frontier.append(v)
+            return
         if inspect.ismodule(v):
-            if v.__name__.startswith(PKG):
-                mods.add(v.__name__)
-        elif callable(v) and getattr(v, "__module__", "").startswith(PKG):
-            mods.add(v.__module__)
-        elif isinstance(v, (str, bytes, int, float, bool, tuple, frozenset)):
-            consts.append(f"{n}={v!r}")
-    own = build_fn.__module__
-    for node in ast.walk(tree):
-        if isinstance(node, ast.Import):
-            for alias in node.names:
-                if alias.name in modfiles:
-                    mods.add(alias.name)
-        elif isinstance(node, ast.ImportFrom):
-            mods |= _resolve_from(own, node, modfiles)
-    return mods, consts
+            if v.__name__.startswith(PKG) and v.__name__ in modfiles:
+                fallback.add(v.__name__)
+            return
+        r = _const_repr(v)
+        if r is not None:
+            consts.add(f"{name}={r}")
+            return
+        m = _defining_module(v, modfiles) or owner_mod
+        if m in modfiles:
+            fallback.add(m)
+
+    while frontier:
+        obj = frontier.pop()
+        if id(obj) in seen_ids:
+            continue
+        seen_ids.add(id(obj))
+        seen.append(obj)
+        mod = getattr(obj, "__module__", None) or ""
+        if not mod.startswith(PKG):
+            continue
+        key = f"{mod}.{getattr(obj, '__qualname__', getattr(obj, '__name__', '?'))}"
+        try:
+            src = textwrap.dedent(inspect.getsource(obj))
+        except (OSError, TypeError):
+            if mod in modfiles:
+                fallback.add(mod)
+            continue
+        sources.setdefault(key, src)
+        if inspect.isclass(obj):
+            # class source covers the body; traverse methods so THEIR
+            # package references are reached too
+            for v in vars(obj).values():
+                if isinstance(v, (staticmethod, classmethod)):
+                    v = v.__func__
+                if inspect.isfunction(v) and v.__module__.startswith(PKG):
+                    frontier.append(v)
+            continue
+        try:
+            tree = ast.parse(src)
+        except SyntaxError:
+            if mod in modfiles:
+                fallback.add(mod)
+            continue
+        if obj is build_fn and tree.body and hasattr(tree.body[0], "decorator_list"):
+            # the seed's @register(...) decorator is catalog MACHINERY:
+            # its entire effect on this entry is the CatalogEntry fields
+            # already hashed directly (build source, evaluated oracle,
+            # doc, tags). Traversing it would pull the registry dict —
+            # and with it every other entry's build fn — into every
+            # fingerprint, reverting to everything-stales-everything.
+            tree.body[0].decorator_list = []
+        names: set[str] = set()
+        attr_bases: dict[str, set[str]] = {}
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Name):
+                names.add(node.id)
+            elif isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name):
+                attr_bases.setdefault(node.value.id, set()).add(node.attr)
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name in modfiles:
+                        fallback.add(alias.name)
+            elif isinstance(node, ast.ImportFrom):
+                base = _abs_base(mod, node, modfiles)
+                if base is None or (
+                    base not in modfiles
+                    and not any(f"{base}.{a.name}" in modfiles for a in node.names)
+                ):
+                    continue
+                try:
+                    bmod = importlib.import_module(base)
+                except Exception:
+                    if base in modfiles:
+                        fallback.add(base)
+                    continue
+                for alias in node.names:
+                    sub = f"{base}.{alias.name}"
+                    if sub in modfiles:
+                        fallback.add(sub)
+                        continue
+                    v = getattr(bmod, alias.name, None)
+                    if v is None:
+                        if base in modfiles:
+                            fallback.add(base)
+                    else:
+                        add_obj(v, base, alias.name)
+        g = obj.__globals__
+        cells: dict[str, object] = {}
+        if obj.__closure__:
+            for nm, cell in zip(obj.__code__.co_freevars, obj.__closure__):
+                try:
+                    cells[nm] = cell.cell_contents
+                except ValueError:
+                    pass
+        for n in sorted(names):
+            v = cells[n] if n in cells else g.get(n)
+            if v is None:
+                continue
+            if inspect.ismodule(v):
+                if not v.__name__.startswith(PKG):
+                    continue
+                vname = v.__name__
+                attrs = attr_bases.get(n)
+                if not attrs:
+                    # module passed around opaquely — whole-file fallback
+                    if vname in modfiles:
+                        fallback.add(vname)
+                    continue
+                for a in sorted(attrs):
+                    av = getattr(v, a, None)
+                    if av is None:
+                        if vname in modfiles:
+                            fallback.add(vname)
+                    else:
+                        add_obj(av, vname, f"{n}.{a}")
+            else:
+                add_obj(v, mod, n)
+    return sources, consts, fallback
 
 
 def fingerprint_catalog() -> dict[str, str]:
@@ -163,18 +355,20 @@ def fingerprint_catalog() -> dict[str, str]:
     import_cache: dict[str, set[str]] = {}
     out: dict[str, str] = {}
     for name, entry in CATALOG.items():
-        mods, consts = _entry_refs(entry.build, modfiles)
+        sources, consts, fallback = _entry_closure(entry.build, modfiles)
         h = hashlib.sha256()
         h.update(textwrap.dedent(inspect.getsource(entry.build)).encode())
         h.update(b"\x00")
         h.update((entry.oracle or "").encode())
-        for c in consts:
-            h.update(b"\x00" + c.encode())
-        for m in sorted(_closure(mods, modfiles, import_cache)):
+        for k in sorted(sources):
+            h.update(f"\x00S:{k}\x00".encode() + sources[k].encode())
+        for c in sorted(consts):
+            h.update(b"\x00C:" + c.encode())
+        for m in sorted(_closure(fallback, modfiles, import_cache)):
             if m not in file_sha:
                 with open(modfiles[m], "rb") as f:
                     file_sha[m] = hashlib.sha256(f.read()).hexdigest()
-            h.update(f"\x00{m}:{file_sha[m]}".encode())
+            h.update(f"\x00F:{m}:{file_sha[m]}".encode())
         out[name] = h.hexdigest()
     return out
 
