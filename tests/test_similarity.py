@@ -232,3 +232,34 @@ def test_kmeans_guards(spark, emb_with_twins):
     only_high = emb_with_twins.filter(F.col("vec_id") >= 4)
     with _pytest.raises(ValueError, match="seed"):
         S.kmeans_centroids(only_high, k=8, iters=1)
+
+
+def test_semantic_dedup_drops_twins_keeps_bases(spark, emb_with_twins):
+    """Planted near-identical twins (cos≈1) fall in the same cell as
+    their base vector and are dropped; every base (lowest id) is kept.
+    Quantization can flip a near-tied cell argmax for a scaled twin, so
+    the twin-drop assertion allows a tiny boundary slack."""
+    out = S.semantic_dedup(emb_with_twins, n_centroids=16, threshold=0.99)
+    rows = {r.vec_id: (r.cell, r.kept) for r in out.collect()}
+    assert len(rows) == 100
+    base_ids = [i for i in rows if i < OFFSET]
+    assert all(rows[i][1] for i in base_ids), "a base vector was dropped"
+    dropped_twins = [i for i in base_ids if not rows[i + OFFSET][1]]
+    assert len(dropped_twins) >= 48
+    same_cell = [i for i in base_ids if rows[i + OFFSET][0] == rows[i][0]]
+    assert len(same_cell) >= 48
+
+
+def test_semantic_dedup_hot_cell_guard_is_equivalent(spark, emb_with_twins):
+    """Sub-splitting oversized cells into block pairs must not change
+    the result — only the task shape."""
+    a = sorted(
+        map(tuple, S.semantic_dedup(emb_with_twins, 16, 0.99).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            S.semantic_dedup(emb_with_twins, 16, 0.99, max_cell_size=3).collect(),
+        )
+    )
+    assert a == b

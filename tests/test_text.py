@@ -225,3 +225,24 @@ def test_vocab_coverage_curve(spark, sf_dir):
     # cum_count telescopes
     assert rows[0].cum_count == rows[0].n_occ
     assert rows[5].cum_count == sum(r.n_occ for r in rows[:6])
+
+
+def test_bpe_merge_candidates_counts_positions(spark):
+    """BPE statistic: every adjacent position counts ("aaa" has "aa"
+    twice), weighted by corpus word frequency; 1-char words contribute
+    nothing; ties rank by pair string."""
+    docs = spark.createDataFrame(
+        [(1, "aaa bb a"), (2, "aaa aaa cc bb"), (3, "dd a")],
+        "doc_id long, text string",
+    )
+    out = TX.bpe_merge_candidates(docs, top_k=10).collect()
+    got = [(r.rank, r.pair, r.weight, r.n_types) for r in out]
+    # aaa freq 3 -> "aa" weight 6; bb freq 2 -> "bb" 2; cc/dd freq 1
+    assert got == [(1, "aa", 6, 1), (2, "bb", 2, 1), (3, "cc", 1, 1), (4, "dd", 1, 1)]
+
+
+def test_bpe_merge_candidates_top_k_cut(spark):
+    docs = spark.createDataFrame([(1, "abc abc xyz")], "doc_id long, text string")
+    out = TX.bpe_merge_candidates(docs, top_k=2).collect()
+    # ab/bc weight 2 each beat xy/yz weight 1; tie ab < bc
+    assert [(r.rank, r.pair, r.weight) for r in out] == [(1, "ab", 2), (2, "bc", 2)]

@@ -958,3 +958,159 @@ def embedding_near_duplicates(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def _seed_cell_assignment(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cell): nearest-seed-centroid assignment, cross-engine
+    exact — the same quantized arithmetic :func:`kmeans_update_stats`
+    uses (int64 component quantization, exact integer dot/norm, ONE
+    double division per score, ties to the lowest centroid id), kept as
+    a reusable frame so set-shaped consumers (semantic dedup, cell
+    histograms) can share it. Pure map-side: the centroids travel as a
+    single broadcast row; the corpus never shuffles."""
+    import math  # noqa: PLC0415
+
+    cent_rows = sorted(
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    spark = embeddings.sparkSession
+    cents_row = spark.createDataFrame(
+        [
+            (
+                [
+                    (int(r[0]), qc, sum(q * q for q in qc))
+                    for r in cent_rows
+                    for qc in [[int(math.floor(float(x) * QUANT)) for x in r[1]]]
+                ],
+            )
+        ],
+        "_cents array<struct<cent_id:bigint,qcvec:array<bigint>,cnormsq:bigint>>",
+    )
+    staged = embeddings.select(
+        id_col,
+        vec_col,
+        F.transform(F.col(vec_col), _q).alias("_qv"),
+    ).withColumn(
+        "_nv",
+        F.aggregate(
+            F.transform(F.col("_qv"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+    def cent_cos(c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col("_qv"), c["qcvec"], lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double") / F.sqrt(
+            F.col("_nv").cast("double") * c["cnormsq"].cast("double")
+        )
+
+    ordered = F.array_sort(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.named_struct(
+                F.lit("nscore"), -cent_cos(c), F.lit("cent_id"), c["cent_id"]
+            ),
+        )
+    )
+    return staged.crossJoin(F.broadcast(cents_row)).select(
+        id_col,
+        vec_col,
+        F.element_at(ordered, 1)["cent_id"].cast("int").alias("cell"),
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int = 2048,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then drop, within
+    each cluster, every vector that has an EARLIER-id neighbor above the
+    cosine ``threshold``. Pairwise comparison never crosses clusters —
+    that is the whole point: k clusters cut the O(N²) candidate space to
+    O(Σ cell²) ≈ O(N²/k) while near-duplicates (which co-locate by
+    construction) stay comparable.
+
+    Keeper rule: vector j is dropped iff SOME i<j in its cell has
+    cos(i,j) ≥ threshold — pairwise-greedy in id order, deterministic
+    and EXISTS-expressible (for clique-exact keeper selection compose
+    the surviving pairs with :func:`~..operators.dedup.neardup_clusters`
+    instead). Output: (vec_id, cell, kept) for EVERY input vector.
+
+    Scale shape: assignment is map-side against one broadcast centroid
+    row (:func:`_seed_cell_assignment`); scoring reuses the blocked
+    int64 matmul of :func:`allpairs_cosine_lsh` keyed on the cell — a
+    cell larger than ``max_cell_size`` is sub-split into hash blocks and
+    every block pair becomes its own O(cap²)-bounded task, so a
+    degenerate cell degrades to parallel bounded tasks, never one
+    O(cell²) straggler. Shuffles: the cell-census broadcast, one hash
+    partition on (cell, block-pair), one distinct over dropped ids —
+    linear in candidates. At 100 TB raise ``n_centroids`` so cells stay
+    bounded (SemDeDup runs k≈10⁴ on web-scale corpora); seeds here are
+    the deterministic id<k convention the IVF entries share (swap in
+    :func:`kmeans_centroids` output for trained cells).
+
+    Exactness: quantized assignment ties to the lowest centroid id;
+    pair cosines are exact int64 dots with one final double division —
+    bit-identical across engines, so the threshold comparison (and
+    hence ``kept``) is oracle-hashable."""
+    n_par = embeddings.sparkSession.sparkContext.defaultParallelism
+    assign = _seed_cell_assignment(embeddings, n_centroids, id_col, vec_col)
+    sizes = assign.groupBy("cell").agg(F.count("*").alias("_cnt"))
+    nblocks = F.ceil(F.col("_cnt") / F.lit(max_cell_size)).cast("int")
+    blocked = (
+        assign.join(F.broadcast(sizes), ["cell"])
+        .withColumn("_nb", nblocks)
+        .withColumn(
+            "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int")
+        )
+        .select(
+            id_col,
+            vec_col,
+            "cell",
+            "_blk",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("_nb") - 1),
+                        lambda x: F.struct(
+                            F.least(x, F.col("_blk")).alias("gi"),
+                            F.greatest(x, F.col("_blk")).alias("gj"),
+                        ),
+                    )
+                )
+            ).alias("_g"),
+        )
+        .select(
+            id_col, vec_col, "cell", "_blk",
+            F.col("_g.gi").alias("_gi"), F.col("_g.gj").alias("_gj"),
+        )
+        .repartition(n_par, "cell", "_gi", "_gj")
+    )
+    score_group = _make_block_scorer(id_col, vec_col, QUANT, threshold)
+    dropped = (
+        blocked.groupBy("cell", "_gi", "_gj")
+        .applyInPandas(score_group, schema="id_a bigint, id_b bigint, cos_sim double")
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return assign.join(dropped, [id_col], "left").select(
+        id_col, "cell", F.col("_dup").isNull().alias("kept")
+    )

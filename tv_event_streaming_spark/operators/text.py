@@ -942,3 +942,56 @@ def vocab_coverage(
             F.col("cum_count").cast("double") / F.col("_total").cast("double")
         ).alias("coverage"),
     )
+
+
+def bpe_merge_candidates(
+    docs: DataFrame, top_k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """One BPE-trainer iteration kernel: rank adjacent-symbol pairs by
+    corpus-weighted occurrence count — the statistic a byte-pair-encoding
+    trainer maximizes when it picks the next merge. Symbols here are the
+    base (character) vocabulary, i.e. the FIRST merge decision; a trainer
+    loops this kernel, re-segmenting with the chosen merge each round
+    (the re-segmentation table is vocabulary-sized driver state in real
+    trainers too — the distributed part is exactly this count).
+
+    Output: (rank, pair, weight, n_types) — ``weight`` is the corpus
+    occurrence count of the pair (each adjacent position in each word
+    counts once, times the word's corpus frequency, so "aaa" contributes
+    "aa" twice per occurrence — the true BPE statistic), ``n_types`` the
+    number of distinct words containing it. Ties break on the pair
+    string, so the ranking is total and engine-exact; all counts are
+    int64.
+
+    Scale shape: the ONLY corpus-sized operation is the word-frequency
+    groupBy (map-side partial combine; shuffles the vocabulary, not the
+    corpus — Zipf makes the type table orders of magnitude smaller than
+    the token stream). Pair explosion runs over DISTINCT words weighted
+    by their frequency: O(types × avg word length) rows, corpus-size-
+    independent. The final rank window is global but over the pair
+    alphabet (≤ |charset|² ≈ 1.3k rows for normalized ascii) — trivially
+    single-task."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    toks = staged_tokens(docs, text_col).select(F.explode("_toks").alias("w"))
+    words = toks.groupBy("w").agg(F.count("*").alias("freq"))
+    w = F.col("w")
+    # guard len>=2: Spark sequence(1,0) is DESCENDING [1,0], not empty
+    positions = F.when(
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: w.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = words.select("w", "freq", F.explode(positions).alias("pair"))
+    agg = pairs.groupBy("pair").agg(
+        F.sum("freq").alias("weight"),
+        F.count_distinct("w").alias("n_types"),
+    )
+    rk = Window.orderBy(F.desc("weight"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("rank").cast("int").alias("rank"), "pair", "weight", "n_types")
+    )

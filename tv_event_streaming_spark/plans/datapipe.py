@@ -1782,3 +1782,84 @@ FROM f
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return M.sample_frames(M.attach_binary_payload(docs), every_nth=4)
+
+
+@register(
+    "bpe_merge_step",
+    f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY w),
+pairs AS (
+  SELECT w, freq,
+         unnest(list_transform(range(1, length(w)), i -> substring(w, i, 2))) AS pair
+  FROM words WHERE length(w) >= 2
+),
+agg AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS weight,
+         CAST(count(DISTINCT w) AS BIGINT) AS n_types
+  FROM pairs GROUP BY pair
+)
+SELECT CAST(rank AS INTEGER) AS rank, pair, weight, n_types FROM (
+  SELECT *, row_number() OVER (ORDER BY weight DESC, pair) AS rank FROM agg
+) WHERE rank <= 20
+""",
+    doc="BPE-trainer iteration kernel: top-20 adjacent-symbol merge "
+    "candidates by corpus-weighted occurrence count over the base "
+    "(character) vocabulary — the distributed statistic a byte-pair-"
+    "encoding trainer loops; the only corpus-sized shuffle is the "
+    "word-frequency groupBy (map-side combine), pair explosion runs "
+    "over DISTINCT words weighted by frequency "
+    "(operators/text.py:bpe_merge_candidates)",
+    tags=("text", "tokenizer"),
+)
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bpe_merge_candidates(docs, top_k=20)
+
+
+# shared nearest-seed-centroid assignment CTE (the deterministic id<16
+# seed convention every IVF-family entry uses; ties to lowest cent_id)
+_ASSIGN_CTE = f"""cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+ranked AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_DOT.format(a='e.embedding', b='c.cvec')}
+                    / sqrt({_NORMSQ.format(v='e.embedding')} * {_NORMSQ.format(v='c.cvec')}) DESC,
+                    c.cent_id
+         ) AS rn
+  FROM embeddings e, cents c
+),
+assign AS (
+  SELECT vec_id, embedding, CAST(cent_id AS INTEGER) AS cell FROM ranked WHERE rn = 1
+)"""
+
+
+@register(
+    "semantic_dedup",
+    f"""
+WITH {_ASSIGN_CTE},
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+        / sqrt({_NORMSQ.format(v='a.embedding')} * {_NORMSQ.format(v='b.embedding')}) >= 0.35
+)
+SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+""",
+    doc="SemDeDup-shaped semantic dedup (arXiv:2303.09540): nearest-seed-"
+    "centroid clustering confines the pairwise cosine comparison to "
+    "within-cell candidates (O(N²/k)); vectors with an earlier-id "
+    "in-cell neighbor at cos≥0.35 are dropped (threshold is data-"
+    "dependent: the synthetic embeddings' cosine mass sits near 0 — "
+    "real-corpus SemDeDup runs ≈0.95). Blocked int64-matmul "
+    "scoring with the hot-cell sub-split guard; kept-flag per input row "
+    "(operators/similarity.py:semantic_dedup)",
+    tags=("similarity", "dedup"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, n_centroids=16, threshold=0.35)
