@@ -246,3 +246,36 @@ def test_bpe_merge_candidates_top_k_cut(spark):
     out = TX.bpe_merge_candidates(docs, top_k=2).collect()
     # ab/bc weight 2 each beat xy/yz weight 1; tie ab < bc
     assert [(r.rank, r.pair, r.weight) for r in out] == [(1, "ab", 2), (2, "bc", 2)]
+
+
+def test_importance_weights_ranks_target_like_above_off_domain(spark):
+    """DSIR semantics on a planted corpus: docs sharing the target
+    domain's vocabulary score ratio>1 and survive any u; docs fully
+    outside it score ratio 0 and can never be selected."""
+    rows = [(i, "apple banana cherry", "tgt") for i in range(10)]
+    rows += [(100 + i, "apple banana cherry", "web") for i in range(5)]
+    rows += [(200 + i, "xyzzy quux plugh", "web") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: r
+        for r in TX.importance_weights(
+            docs, F.col("source") == "tgt", alpha=1.0
+        ).collect()
+    }
+    for i in range(5):
+        assert out[100 + i].ratio > 1.0
+        assert out[100 + i].selected  # u/1e6 < 1 <= ratio
+        assert out[200 + i].ratio == 0.0
+        assert out[200 + i].sum_t == 0
+        assert not out[200 + i].selected
+
+
+def test_importance_weights_alpha_monotone_and_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = F.col("source") == "src0"
+    lo = {r.doc_id for r in TX.importance_weights(docs, tgt, alpha=0.3).collect() if r.selected}
+    hi = {r.doc_id for r in TX.importance_weights(docs, tgt, alpha=0.9).collect() if r.selected}
+    again = {r.doc_id for r in TX.importance_weights(docs, tgt, alpha=0.3).collect() if r.selected}
+    assert lo == again
+    assert lo <= hi
+    assert len(lo) < len(hi)

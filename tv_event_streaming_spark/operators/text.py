@@ -995,3 +995,84 @@ def bpe_merge_candidates(
         .filter(F.col("rank") <= top_k)
         .select(F.col("rank").cast("int").alias("rank"), "pair", "weight", "n_types")
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: Column,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-shaped data selection via importance resampling (Xie et al.
+    2023, arXiv:2302.03169): score every document by how much more
+    likely its tokens are under a TARGET-domain unigram model than under
+    the whole-corpus model, then thin the corpus with acceptance
+    probability min(1, alpha·ratio) — upsampling target-like text
+    without ever materializing the target more than once. The published
+    method uses hashed-bigram log-likelihood ratios; this keeps the
+    ratio semantics but in count space, so every decision is exact
+    integer arithmetic (log-space scores differ in the last ulp across
+    libm builds and would not be oracle-hashable).
+
+    Per-doc output: ``n_tokens``, ``sum_t``/``sum_c`` (Σ over token
+    occurrences of the target/corpus model counts), ``ratio`` =
+    (sum_t·N_c)/(sum_c·N_t) as ONE final double division of exact int64
+    products (the per-token-mean likelihood ratio; N_t/N_c are the
+    model masses), and ``selected`` — the deterministic thinning gate
+    ``u·sum_c·N_t < round(alpha·10⁶)·sum_t·N_c`` with
+    ``u = md5-hash(salt:doc_id) mod 10⁶``, cross-multiplied in
+    DECIMAL(38,0) so the comparison is exact on both engines (the
+    int64 form would overflow at u·sum_c·N_t ≈ 10¹⁹). ``ratio``'s
+    int64 products are exact in double below 2⁵³ — at corpus scales
+    where sum_t·N_c approaches that, promote the ratio to decimal too
+    and hash only the gate.
+
+    Scale shape (the :func:`token_fluency` family): both count models
+    are VOCABULARY-sized (Zipf) → broadcast joins on the token; the
+    1-row mass totals attach as a broadcast cross-join; the only
+    corpus-sized shuffle is the per-doc groupBy, map-side-combined.
+    Changing ``salt`` redraws the thinning; ``alpha`` rescales
+    acceptance without rescoring."""
+    from .dedup import portable_hash64  # noqa: PLC0415 (avoid module cycle)
+
+    toks = staged_tokens(docs, text_col).select(
+        "doc_id", target.alias("_tgt"), F.explode("_toks").alias("t")
+    )
+    tgt_counts = toks.filter("_tgt").groupBy("t").agg(F.count("*").alias("c_t"))
+    cor_counts = toks.groupBy("t").agg(F.count("*").alias("c_c"))
+    totals = tgt_counts.agg(F.sum("c_t").alias("_nt")).crossJoin(
+        cor_counts.agg(F.sum("c_c").alias("_nc"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(tgt_counts), "t", "left")
+        .join(F.broadcast(cor_counts), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("c_t"), F.lit(0))).alias("sum_t"),
+            F.sum("c_c").alias("sum_c"),
+        )
+    )
+    u = F.pmod(
+        portable_hash64(
+            F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))
+        ),
+        F.lit(1_000_000),
+    )
+    alpha_scaled = round(alpha * 1_000_000)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_t",
+        "sum_c",
+        (
+            (F.col("sum_t") * F.col("_nc")).cast("double")
+            / (F.col("sum_c") * F.col("_nt")).cast("double")
+        ).alias("ratio"),
+        (
+            dec(u) * dec(F.col("sum_c")) * dec(F.col("_nt"))
+            < F.lit(alpha_scaled) * dec(F.col("sum_t")) * dec(F.col("_nc"))
+        ).alias("selected"),
+    )

@@ -1863,3 +1863,43 @@ FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_dedup(emb, n_centroids=16, threshold=0.35)
+
+
+@register(
+    "dsir_select",
+    f"""
+WITH toks AS (
+  SELECT doc_id, (source = 'src0') AS tgt, unnest({_TOKS}) AS t FROM documents
+),
+tc AS (SELECT t, CAST(count(*) AS BIGINT) AS c_t FROM toks WHERE tgt GROUP BY t),
+cc AS (SELECT t, CAST(count(*) AS BIGINT) AS c_c FROM toks GROUP BY t),
+tot AS (
+  SELECT (SELECT CAST(sum(c_t) AS BIGINT) FROM tc) AS nt,
+         (SELECT CAST(sum(c_c) AS BIGINT) FROM cc) AS nc
+),
+pd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(COALESCE(tc.c_t, 0)) AS BIGINT) AS sum_t,
+         CAST(sum(cc.c_c) AS BIGINT) AS sum_c
+  FROM toks LEFT JOIN tc ON toks.t = tc.t JOIN cc ON toks.t = cc.t
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_t, sum_c,
+       CAST(sum_t * nc AS DOUBLE) / CAST(sum_c * nt AS DOUBLE) AS ratio,
+       ({_PH.format(x="concat('dsir:', CAST(doc_id AS VARCHAR))")} % 1000000)
+         * CAST(sum_c AS HUGEINT) * nt
+         < 500000 * CAST(sum_t AS HUGEINT) * nc AS selected
+FROM pd, tot
+""",
+    doc="DSIR-shaped importance resampling toward the src0 domain "
+    "(arXiv:2302.03169): per-doc target-vs-corpus unigram likelihood "
+    "ratio in exact count space, acceptance-thinned by a deterministic "
+    "md5 gate (alpha=0.5 keep rate) with the comparison cross-multiplied in "
+    "DECIMAL(38,0); both count models are vocabulary-sized broadcasts, "
+    "the only corpus shuffle is the per-doc groupBy "
+    "(operators/text.py:importance_weights)",
+    tags=("text", "sampling"),
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.importance_weights(docs, F.col("source") == "src0", alpha=0.5)
