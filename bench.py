@@ -82,6 +82,17 @@ def main() -> None:
         # cold run already served as their warmup
         attempts = 1 if cold > 10.0 else 3
         for _ in range(attempts):
+            # Attempt-scoped cache clear: builders persist shared
+            # sub-plans (MEMORY_AND_DISK), and Spark's CacheManager
+            # substitutes cached plans by LOGICAL-PLAN equality — so a
+            # repeat build() of the same entry silently reads the prior
+            # attempt's blocks and reports the warm-cache time (measured
+            # 4.6 s cached vs 14.8 s cold for curation_pipeline_neardup).
+            # Clearing before every timed run makes each attempt pay its
+            # own persist compute (JIT stays warm — that's the
+            # steady-state being measured) and doubles as the
+            # storage-memory hygiene between entries.
+            spark.catalog.clearCache()
             time.sleep(0.3)  # let the C2 compile queue drain new classes
             t1 = time.perf_counter()
             entry.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -92,12 +103,6 @@ def main() -> None:
         print(
             f"# {name}: {timings[name]:.3f}s (cold {cold:.3f}s)", file=sys.stderr
         )
-        # Builders persist shared sub-plans (MEMORY_AND_DISK) and return
-        # lazy frames, so they can't unpersist their own blocks; without
-        # this, a 65-entry sweep accumulates storage-memory pressure
-        # until ContextCleaner happens to GC the frames. Entry-scoped
-        # (not attempt-scoped): each build() call re-persists its own
-        # fresh frames, so steady-state timings are unaffected.
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
