@@ -263,3 +263,18 @@ def test_semantic_dedup_hot_cell_guard_is_equivalent(spark, emb_with_twins):
         )
     )
     assert a == b
+
+
+def test_ann_recall_full_probe_is_exact(spark, emb_with_twins):
+    """With 1-bit buckets and Hamming-1 probing every query probes both
+    buckets — the candidate set IS the corpus, so recall@k must be
+    exactly 1.0 for every query; and recall never exceeds 1."""
+    full = S.ann_recall_at_k(
+        emb_with_twins, F.col("vec_id") < 5, k=3, bits=1, probe_hamming=1
+    ).collect()
+    assert len(full) == 5
+    assert all(r.recall_at_k == 1.0 and r.n_hits == 3 for r in full)
+    narrow = S.ann_recall_at_k(
+        emb_with_twins, F.col("vec_id") < 5, k=3, bits=8, probe_hamming=0
+    ).collect()
+    assert all(0.0 <= r.recall_at_k <= 1.0 for r in narrow)

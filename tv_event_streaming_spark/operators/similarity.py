@@ -1114,3 +1114,60 @@ def semantic_dedup(
     return assign.join(dropped, [id_col], "left").select(
         id_col, "cell", F.col("_dup").isNull().alias("kept")
     )
+
+
+def ann_recall_at_k(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    dims: int = 64,
+    bits: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the LSH path against exact brute force, as ONE
+    DataFrame — the evaluation harness every ANN deployment needs,
+    expressed as a query so the measurement itself is distributed,
+    repeatable, and oracle-checkable (a recall number computed by
+    driver-side set math would be none of those).
+
+    Per query: ``n_hits`` = |LSH top-k ∩ exact top-k| and
+    ``recall_at_k`` = n_hits/k (exact small-integer division, one final
+    double cast). Queries with zero LSH candidates still appear (recall
+    0), so a collapsed bucket cannot silently vanish from the average.
+
+    Scale shape: both rankings are the already-analyzed operators
+    (:func:`cosine_topk_bruteforce` broadcasts only the query side;
+    :func:`cosine_topk_lsh` buckets the corpus once and explodes probes
+    query-side); the intersection is a semi-join between two top-k-sized
+    frames (≤ |queries|·k rows each), and the final groupBy is
+    query-count-sized. Evaluate recall on a SAMPLE of queries at scale —
+    the brute-force side is the O(|queries|·N) term."""
+    exact = cosine_topk_bruteforce(embeddings, query_pred, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = cosine_topk_lsh(
+        embeddings,
+        query_pred,
+        k=k,
+        dims=dims,
+        bits=bits,
+        probe_hamming=probe_hamming,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_q = exact.select("query_id").distinct()
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.lit(float(k))
+        ).alias("recall_at_k"),
+    )

@@ -1918,3 +1918,62 @@ FROM pd, tot
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return TX.importance_weights(docs, F.col("source") == "src0", alpha=0.5)
+
+
+@register(
+    "ann_recall_eval",
+    f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql(bits=4)} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM sig WHERE vec_id < 25),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec, bucket FROM sig),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {_DOT.format(a='qvec', b='cvec')}
+                      / sqrt({_NORMSQ.format(v='qvec')} * {_NORMSQ.format(v='cvec')}) DESC,
+                      neighbor_id
+           ) AS rn
+    FROM q, c WHERE query_id <> neighbor_id
+  ) WHERE rn <= 5
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {_DOT.format(a='qvec', b='cvec')}
+                      / sqrt({_NORMSQ.format(v='qvec')} * {_NORMSQ.format(v='cvec')}) DESC,
+                      neighbor_id
+           ) AS rn
+    FROM q JOIN c ON bit_count(xor(q.bucket, c.bucket)) <= 1
+    WHERE query_id <> neighbor_id
+  ) WHERE rn <= 5
+),
+hits AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact JOIN approx USING (query_id, neighbor_id) GROUP BY query_id
+)
+SELECT e.query_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact) e LEFT JOIN hits h USING (query_id)
+""",
+    doc="ANN evaluation harness as a query: recall@5 of Hamming-1 "
+    "multi-probe LSH (4-bit buckets — sized to the sf corpus; at scale "
+    "raise bits with N to keep buckets bounded) vs exact brute force "
+    "for 25 query vectors — the "
+    "intersection is a semi-join of two top-k-sized frames, so the "
+    "measurement itself is distributed and oracle-checkable; queries "
+    "with zero LSH candidates surface as recall 0 instead of vanishing "
+    "(operators/similarity.py:ann_recall_at_k)",
+    tags=("similarity", "eval"),
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_recall_at_k(
+        emb, F.col("vec_id") < 25, k=5, dims=64, bits=4, probe_hamming=1
+    )
