@@ -279,3 +279,23 @@ def test_importance_weights_alpha_monotone_and_deterministic(spark, sf_dir):
     assert lo == again
     assert lo <= hi
     assert len(lo) < len(hi)
+
+
+def test_bpe_apply_hierarchical_and_greedy(spark):
+    """Merge-table application: later rules consume earlier rules'
+    outputs; overlapping runs merge leftmost-non-overlapping."""
+    docs = spark.createDataFrame(
+        [(1, "filter window aaaa aaa")], "doc_id long, text string"
+    )
+    seg = {
+        r.word: (r.segments, r.n_symbols)
+        for r in TX.bpe_apply(docs).collect()
+    }
+    assert seg["filter"] == ("f i l ter", 4)  # (t,er) consumed (e,r)'s output
+    assert seg["window"] == ("w i n d ow", 5)
+    out = {
+        r.word: r.segments
+        for r in TX.bpe_apply(docs, merges=(("a", "a"),)).collect()
+    }
+    assert out["aaaa"] == "aa aa"
+    assert out["aaa"] == "aa a"

@@ -1076,3 +1076,68 @@ def importance_weights(
             < F.lit(alpha_scaled) * dec(F.col("sum_t")) * dec(F.col("_nc"))
         ).alias("selected"),
     )
+
+
+def _bpe_merge_pass(seg: Column, x: str, y: str) -> Column:
+    """One full BPE merge pass: rewrite every (x, y) adjacency in a
+    space-prefixed symbol string (" f i l t e r") as the merged symbol.
+    Left-to-right fold with a string accumulator — the leading-space
+    marker makes "symbol equals x" an exact ``endswith(" "+x)`` test
+    (no prefix aliasing), and consuming matched symbols as the fold
+    advances yields the leftmost-non-overlapping semantics BPE
+    specifies ("a a a" + (a,a) → "aa a"). Pure string ops ⇒
+    bit-identical across engines."""
+    return F.aggregate(
+        F.split(seg, " "),
+        F.lit(""),
+        lambda acc, s: (
+            F.when(s == "", acc)
+            .when(
+                acc.endswith(" " + x) & (s == y),
+                F.concat(
+                    F.substring(acc, F.lit(1), F.length(acc) - len(x)),
+                    F.lit(x + y),
+                ),
+            )
+            .otherwise(F.concat(acc, F.lit(" "), s))
+        ),
+    )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: tuple[tuple[str, str], ...] = (("e", "r"), ("t", "er"), ("o", "w")),
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge table to the corpus vocabulary — the
+    tokenizer APPLICATION step that pairs with
+    :func:`bpe_merge_candidates` (selection): word → ordered subword
+    segments under the merge rules, with the corpus frequency each
+    segmentation serves.
+
+    Exactness contract: one full left-to-right pass per merge rule, in
+    table order. That equals true priority-ordered BPE whenever the
+    table is topologically ordered (each rule's input symbols are base
+    characters or outputs of EARLIER rules — the order a trainer emits
+    naturally); a rule whose input is produced by a LATER rule would
+    need another pass, which this fixed-depth plan deliberately does
+    not do. The default table demonstrates the hierarchy: (t, er)
+    consumes (e, r)'s output.
+
+    Scale shape: segmentation runs over the DISTINCT-word table (the
+    word-frequency groupBy is the only corpus-sized shuffle — Zipf
+    makes the type table tiny), so the per-word fold cost is
+    vocabulary-bound, not corpus-bound; applying the segmentation back
+    to running text is a broadcast join on the word."""
+    toks = staged_tokens(docs, text_col).select(F.explode("_toks").alias("w"))
+    words = toks.groupBy("w").agg(F.count("*").alias("freq"))
+    seg = F.regexp_replace(F.col("w"), "(.)", " $1")
+    for x, y in merges:
+        seg = _bpe_merge_pass(seg, x, y)
+    seg = F.trim(seg)
+    return words.select(
+        F.col("w").alias("word"),
+        "freq",
+        seg.alias("segments"),
+        F.size(F.split(seg, " ")).cast("int").alias("n_symbols"),
+    ).orderBy("word")

@@ -1977,3 +1977,45 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_recall_at_k(
         emb, F.col("vec_id") < 25, k=5, dims=64, bits=4, probe_hamming=1
     )
+
+
+def _bpe_pass_sql(expr: str, x: str, y: str) -> str:
+    """SQL twin of text._bpe_merge_pass: same string-accumulator fold,
+    same leading-space marker, same leftmost-non-overlapping greed —
+    list_reduce's first-element-as-init convention is satisfied because
+    every symbol string starts with ' ' so element 1 is always ''."""
+    return (
+        f"list_reduce(string_split({expr}, ' '), "
+        f"(acc, s) -> CASE WHEN s = '' THEN acc "
+        f"WHEN ends_with(acc, ' {x}') AND s = '{y}' "
+        f"THEN left(acc, length(acc) - {len(x)}) || '{x}{y}' "
+        f"ELSE acc || ' ' || s END)"
+    )
+
+
+_BPE_SEG = "regexp_replace(w, '(.)', ' \\1', 'g')"
+for _x, _y in (("e", "r"), ("t", "er"), ("o", "w")):
+    _BPE_SEG = _bpe_pass_sql(_BPE_SEG, _x, _y)
+
+
+@register(
+    "bpe_apply",
+    f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY w),
+seg AS (SELECT w, freq, trim({_BPE_SEG}) AS s FROM words)
+SELECT w AS word, freq, s AS segments,
+       CAST(len(string_split(s, ' ')) AS INTEGER) AS n_symbols
+FROM seg ORDER BY word
+""",
+    doc="BPE merge-table APPLICATION (pairs with bpe_merge_step's "
+    "selection): word -> subword segments under a topologically-ordered "
+    "merge table — (t,er) consumes (e,r)'s output — via one exact "
+    "string-fold pass per rule; segmentation runs over the DISTINCT-"
+    "word table so the fold cost is vocabulary-bound "
+    "(operators/text.py:bpe_apply)",
+    tags=("text", "tokenizer"),
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bpe_apply(docs)
