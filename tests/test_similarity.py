@@ -278,3 +278,26 @@ def test_ann_recall_full_probe_is_exact(spark, emb_with_twins):
         emb_with_twins, F.col("vec_id") < 5, k=3, bits=8, probe_hamming=0
     ).collect()
     assert all(0.0 <= r.recall_at_k <= 1.0 for r in narrow)
+
+
+def test_knn_graph_twin_is_rank1(spark, emb_with_twins):
+    """Each vector's planted near-identical twin lands at rank 1
+    whenever it shares the cell (quantization can flip a near-tied
+    assignment, hence the small slack); ranks are dense from 1 and
+    capped at k."""
+    g = S.knn_graph(emb_with_twins, k=3, n_centroids=8)
+    rows = g.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src_id, []).append(r)
+    for src, nbrs in by_src.items():
+        ranks = sorted(n.rank for n in nbrs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(nbrs) <= 3
+    twin_rank1 = sum(
+        1
+        for src, nbrs in by_src.items()
+        if src < OFFSET
+        and any(n.rank == 1 and n.dst_id == src + OFFSET for n in nbrs)
+    )
+    assert twin_rank1 >= 45

@@ -1070,8 +1070,31 @@ def semantic_dedup(
     pair cosines are exact int64 dots with one final double division —
     bit-identical across engines, so the threshold comparison (and
     hence ``kept``) is oracle-hashable."""
-    n_par = embeddings.sparkSession.sparkContext.defaultParallelism
     assign = _seed_cell_assignment(embeddings, n_centroids, id_col, vec_col)
+    pairs = _cell_pairs(assign, id_col, vec_col, max_cell_size, threshold)
+    dropped = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return assign.join(dropped, [id_col], "left").select(
+        id_col, "cell", F.col("_dup").isNull().alias("kept")
+    )
+
+
+def _cell_pairs(
+    assign: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_cell_size: int,
+    threshold: float | None,
+) -> DataFrame:
+    """All within-cell (id_a < id_b, cos_sim) pairs of an assignment
+    frame, scored by the blocked int64 matmul with the hot-cell
+    sub-split guard (the :func:`allpairs_cosine_lsh` machinery keyed on
+    the cell): oversized cells degrade to parallel O(cap²)-bounded
+    block-pair tasks, never one O(cell²) straggler."""
+    n_par = assign.sparkSession.sparkContext.defaultParallelism
     sizes = assign.groupBy("cell").agg(F.count("*").alias("_cnt"))
     nblocks = F.ceil(F.col("_cnt") / F.lit(max_cell_size)).cast("int")
     blocked = (
@@ -1104,15 +1127,65 @@ def semantic_dedup(
         .repartition(n_par, "cell", "_gi", "_gj")
     )
     score_group = _make_block_scorer(id_col, vec_col, QUANT, threshold)
-    dropped = (
-        blocked.groupBy("cell", "_gi", "_gj")
-        .applyInPandas(score_group, schema="id_a bigint, id_b bigint, cos_sim double")
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-        .withColumn("_dup", F.lit(True))
+    return blocked.groupBy("cell", "_gi", "_gj").applyInPandas(
+        score_group, schema="id_a bigint, id_b bigint, cos_sim double"
     )
-    return assign.join(dropped, [id_col], "left").select(
-        id_col, "cell", F.col("_dup").isNull().alias("kept")
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int = 2048,
+) -> DataFrame:
+    """Per-vector k-nearest-neighbor adjacency, cell-confined: for
+    EVERY corpus vector, its top-k in-cell neighbors by cosine — the
+    batch kNN-graph builder behind SemDeDup's cluster pruning, SSL
+    prototype selection, and diversity-aware sampling. Differs from the
+    query-set ANN entries (a handful of probes against the corpus) in
+    shape: here the corpus is both sides, so candidates MUST be
+    confined (cells) or the pair space is O(N²).
+
+    Neighbors beyond the vector's cell are invisible by construction —
+    the SemDeDup trade: raise ``n_centroids`` with N so cells stay
+    bounded, and accept that recall is within-cell (compose with
+    :func:`ann_recall_at_k`-style evaluation to measure it).
+
+    Scale shape: map-side assignment (one broadcast centroid row);
+    within-cell pairs via the blocked int64 matmul with the hot-cell
+    guard (:func:`_cell_pairs`); each undirected pair is emitted once
+    and mirrored by a union (no second scoring pass); the final rank is
+    a per-source window over in-cell candidates — partitioned by
+    vector, never global. A vector alone in its cell yields no rows
+    (degree 0), which is the honest answer, not an error.
+
+    Exactness: same quantized arithmetic as every similarity entry —
+    int64 dots, one double division, rank ties to the lowest neighbor
+    id — so ranks and cosines are oracle-hashable."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    assign = _seed_cell_assignment(embeddings, n_centroids, id_col, vec_col)
+    pairs = _cell_pairs(assign, id_col, vec_col, max_cell_size, threshold=None)
+    directed = pairs.select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("dst_id"),
+        "cos_sim",
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("src_id"),
+            F.col("id_a").alias("dst_id"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_sim"), F.asc("dst_id")
+    )
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", F.col("rank").cast("int").alias("rank"), "dst_id", "cos_sim")
     )
 
 

@@ -2019,3 +2019,31 @@ FROM seg ORDER BY word
 def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return TX.bpe_apply(docs)
+
+
+@register(
+    "knn_graph",
+    f"""
+WITH {_ASSIGN_CTE},
+scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         {_DOT.format(a='a.embedding', b='b.embedding')}
+         / sqrt({_NORMSQ.format(v='a.embedding')} * {_NORMSQ.format(v='b.embedding')}) AS cos_sim
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+)
+SELECT src_id, CAST(rank AS INTEGER) AS rank, dst_id, cos_sim FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY src_id ORDER BY cos_sim DESC, dst_id
+  ) AS rank FROM scored
+) WHERE rank <= 3
+""",
+    doc="Cell-confined kNN graph: top-3 in-cell cosine neighbors for "
+    "EVERY corpus vector (the batch adjacency behind SemDeDup pruning "
+    "and diversity sampling) — map-side assignment, blocked int64 "
+    "matmul pairs mirrored once, per-source rank window "
+    "(operators/similarity.py:knn_graph)",
+    tags=("similarity", "graph"),
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, k=3, n_centroids=16)
