@@ -156,3 +156,18 @@ def test_stale_detection_reacts_to_function_source(tmp_path):
         EV.package_module_files = orig
     assert before["envelope_roundtrip"] != fb["envelope_roundtrip"]
     assert before["ann_cosine_ivf"] == fb["ann_cosine_ivf"]
+
+
+def test_fingerprints_ignore_runtime_cache_state(spark):
+    """Fingerprints must be a function of SOURCE, not of what the
+    current process has executed: populating domain's module-level
+    table caches (as any query run does) must not change a single
+    entry fingerprint — the phantom-staleness bug that made the full
+    pytest suite (session fixture warms the caches) disagree with a
+    bare driver about which entries were stale."""
+    from tv_event_streaming_spark import domain, evidence as EV
+
+    before = EV.fingerprint_catalog()
+    domain.load_table(spark, "/root/testdata/sf0.001", "region").count()
+    domain.derive_domain(spark, "/root/testdata/sf0.001")
+    assert EV.fingerprint_catalog() == before

@@ -22,8 +22,11 @@ This module replaces the hand list with content fingerprints:
   granularity: adding an unrelated function to a shared module does
   NOT re-fingerprint every entry in that module, which matters once
   the risky tier must fit the driver's ~50-entry budget),
-- a canonical repr of any primitive/container/regex module-level
-  constants the closure reads, and
+- a canonical repr of any IMMUTABLE module-level constants the
+  closure reads (mutable containers are fingerprinted by their
+  once-bound literal assignment SOURCE instead — a runtime cache's
+  ``{}`` stays ``{}`` no matter what the process has executed, so
+  staleness never depends on ambient session state), and
 - for anything NOT statically resolvable to a specific object (a bare
   module reference with unresolved attributes, a registry dict, a
   schema object, a failed ``getsource``), the file bytes of the
@@ -144,10 +147,17 @@ def _closure(seeds: set[str], modfiles: dict[str, str], cache: dict[str, set[str
 
 
 def _const_repr(v, depth: int = 0):
-    """Canonical deterministic repr for constant-ish values; None when
-    the value is not constant-representable. Sets hash-order-dependent
-    iteration is neutralized by sorting element reprs (plain set repr
-    order varies with PYTHONHASHSEED across driver runs)."""
+    """Canonical deterministic repr for IMMUTABLE constant values; None
+    otherwise. Mutable containers (list/dict/set) are deliberately NOT
+    representable here even when their contents currently are: a
+    module-level ``_CACHE = {}`` fills up as queries run, and folding
+    its live contents into a fingerprint makes staleness depend on what
+    the current process happened to execute (found as phantom staleness
+    under the full pytest suite, whose session fixture populates
+    domain's table caches before the ordering test runs). Mutable
+    globals take the assignment-source path instead
+    (:func:`_module_assigns`). Frozenset iteration order varies with
+    PYTHONHASHSEED, hence the sorted element reprs."""
     import re as _re  # noqa: PLC0415
 
     if depth > 6:
@@ -156,43 +166,107 @@ def _const_repr(v, depth: int = 0):
         return repr(v)
     if isinstance(v, _re.Pattern):
         return f"re.compile({v.pattern!r}, {int(v.flags)})"
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, tuple):
         parts = [_const_repr(x, depth + 1) for x in v]
         if any(p is None for p in parts):
             return None
-        lo, hi = ("[", "]") if isinstance(v, list) else ("(", ")")
-        return lo + ", ".join(parts) + hi
-    if isinstance(v, (set, frozenset)):
+        return "(" + ", ".join(parts) + ")"
+    if isinstance(v, frozenset):
         parts = [_const_repr(x, depth + 1) for x in v]
         if any(p is None for p in parts):
             return None
         return "{" + ", ".join(sorted(parts)) + "}"
-    if isinstance(v, dict):
-        items = []
-        for k, val in v.items():
-            kr = _const_repr(k, depth + 1)
-            vr = _const_repr(val, depth + 1)
-            if kr is None or vr is None:
-                return None
-            items.append(f"{kr}: {vr}")
-        return "{" + ", ".join(sorted(items)) + "}"
     return None
 
 
-def _defining_module(v, modfiles: dict[str, str]) -> str | None:
-    """Package module whose namespace holds `v` (identity scan) — used
-    to pin non-constant, non-callable globals (registry dicts, schema
-    objects) to a file for the conservative fallback."""
-    import sys  # noqa: PLC0415
+def _is_literal_node(node: ast.AST) -> bool:
+    """True iff the AST node is a pure data literal (no Name/Call) —
+    the RHS shapes whose source text is a faithful fingerprint."""
+    for n in ast.walk(node):
+        if not isinstance(
+            n,
+            (
+                ast.Constant,
+                ast.Dict,
+                ast.List,
+                ast.Set,
+                ast.Tuple,
+                ast.UnaryOp,
+                ast.USub,
+                ast.UAdd,
+                ast.Load,
+                ast.BinOp,
+                ast.Add,
+                ast.Sub,
+                ast.Mult,
+            ),
+        ):
+            return False
+    return True
 
-    for m in modfiles:
-        mod = sys.modules.get(m)
-        if mod is None:
+
+_ASSIGNS_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _module_assigns(mod: str, modfiles: dict[str, str]) -> dict[str, str]:
+    """{name: unparsed literal RHS} for every module-level name bound
+    exactly once to a pure literal in `mod` — the runtime-independent
+    fingerprint for mutable globals (a cache's ``{}`` stays ``{}`` no
+    matter what the process has executed). Names bound more than once
+    or to non-literal expressions are absent (callers fall back to the
+    module file hash)."""
+    path = modfiles.get(mod, mod)
+    if path in _ASSIGNS_CACHE:
+        return _ASSIGNS_CACHE[path]
+    out: dict[str, str] = {}
+    seen: set[str] = set()
+    try:
+        with open(path, encoding="utf-8") as f:
+            tree = ast.parse(f.read())
+    except (OSError, SyntaxError):
+        _ASSIGNS_CACHE[path] = out
+        return out
+    for node in tree.body:
+        targets = []
+        value = None
+        if isinstance(node, ast.Assign):
+            targets = [t for t in node.targets if isinstance(t, ast.Name)]
+            value = node.value
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            targets = [node.target]
+            value = node.value
+        for t in targets:
+            if t.id in seen:
+                out.pop(t.id, None)  # rebound: not a stable literal
+                continue
+            seen.add(t.id)
+            if value is not None and _is_literal_node(value):
+                out[t.id] = ast.unparse(value)
+    _ASSIGNS_CACHE[path] = out
+    return out
+
+
+def _defining_module(v, modfiles: dict[str, str]) -> tuple[str, str] | tuple[None, None]:
+    """(package module, bound name) whose namespace holds `v` (identity
+    scan) — used to pin non-constant, non-callable globals (registry
+    dicts, schema objects) to an assignment or a file for the
+    conservative fallback. Candidates are IMPORTED explicitly (sorted
+    order, sorted names): scanning only what already sits in
+    sys.modules would make the fingerprint depend on the ambient import
+    state of the calling process — the same catalog would fingerprint
+    differently under pytest-the-full-suite vs a bare driver,
+    producing phantom staleness."""
+    import importlib  # noqa: PLC0415
+
+    for m in sorted(modfiles):
+        try:
+            mod = importlib.import_module(m)
+        except Exception:
             continue
-        for val in vars(mod).values():
-            if val is v:
-                return m
-    return None
+        for bname in sorted(vars(mod)):
+            if vars(mod)[bname] is v:
+                return m, bname
+    return None, None
 
 
 def _entry_closure(
@@ -233,9 +307,25 @@ def _entry_closure(
         if r is not None:
             consts.add(f"{name}={r}")
             return
-        m = _defining_module(v, modfiles) or owner_mod
-        if m in modfiles:
-            fallback.add(m)
+        # mutable/global object: fingerprint its once-bound literal
+        # assignment SOURCE when there is one (runtime-state
+        # independent — a cache's `{}` stays `{}`), else fall back to
+        # the defining module's file hash
+        leaf = name.split(".")[-1] if name else ""
+        if leaf and owner_mod in modfiles:
+            src = _module_assigns(owner_mod, modfiles).get(leaf)
+            if src is not None:
+                consts.add(f"{owner_mod}.{leaf}:={src}")
+                return
+        m, bname = _defining_module(v, modfiles)
+        if m is not None:
+            src = _module_assigns(m, modfiles).get(bname)
+            if src is not None:
+                consts.add(f"{m}.{bname}:={src}")
+            else:
+                fallback.add(m)
+        elif owner_mod in modfiles:
+            fallback.add(owner_mod)
 
     while frontier:
         obj = frontier.pop()
