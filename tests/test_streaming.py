@@ -158,3 +158,42 @@ def test_preferences_mutation_roundtrip(spark, tmp_path):
     # change journal carries the CDC history
     ch = table.read_changes()
     assert ch.filter(F.col("event_name") == "REMOVE").count() == 1
+
+
+def test_quality_gate_runs_on_streams(spark, sf_dir, tmp_path):
+    """The curation gate is stream-safe AS-IS: quality_filter is a
+    map-side projection (no shuffle, no window), so the SAME function
+    that gates the batch corpus applies to a readStream frame — one
+    code path for backfill and live ingestion. availableNow over the
+    documents parquet must yield byte-identical verdicts to the batch
+    run."""
+    from tv_event_streaming_spark.domain import load_table
+    from tv_event_streaming_spark.operators.text import quality_filter
+
+    import shutil
+
+    batch = {
+        (r.doc_id, r.keep)
+        for r in quality_filter(load_table(spark, sf_dir, "documents")).collect()
+    }
+    # the file streaming source wants a DIRECTORY of arriving files
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"), in_dir / "part-0.parquet"
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(in_dir)).schema
+    ).parquet(str(in_dir))
+    out_dir = str(tmp_path / "gated")
+    q = (
+        quality_filter(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.keep) for r in spark.read.parquet(out_dir).collect()}
+    assert got == batch
