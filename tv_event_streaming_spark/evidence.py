@@ -210,38 +210,79 @@ _ASSIGNS_CACHE: dict[str, dict[str, str]] = {}
 
 def _module_assigns(mod: str, modfiles: dict[str, str]) -> dict[str, str]:
     """{name: unparsed literal RHS} for every module-level name bound
-    exactly once to a pure literal in `mod` — the runtime-independent
+    exactly once, to a pure literal, in `mod` — the runtime-independent
     fingerprint for mutable globals (a cache's ``{}`` stays ``{}`` no
-    matter what the process has executed). Names bound more than once
-    or to non-literal expressions are absent (callers fall back to the
-    module file hash)."""
+    matter what the process has executed). A name bound ANYWHERE else
+    at module scope — a second assignment, an augmented assignment, a
+    for-target, a rebinding inside a module-level loop or if (the
+    ``X = lit`` … ``for: X = f(X)`` fold-builder pattern datapipe uses)
+    — is absent, so callers fall back to the module file hash: the
+    first literal alone would under-fingerprint the effective value.
+    Function/class bodies are skipped (those bindings are local)."""
     path = modfiles.get(mod, mod)
     if path in _ASSIGNS_CACHE:
         return _ASSIGNS_CACHE[path]
     out: dict[str, str] = {}
-    seen: set[str] = set()
+    bound: dict[str, int] = {}
     try:
         with open(path, encoding="utf-8") as f:
             tree = ast.parse(f.read())
     except (OSError, SyntaxError):
         _ASSIGNS_CACHE[path] = out
         return out
-    for node in tree.body:
-        targets = []
-        value = None
-        if isinstance(node, ast.Assign):
-            targets = [t for t in node.targets if isinstance(t, ast.Name)]
-            value = node.value
-        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
-            targets = [node.target]
-            value = node.value
-        for t in targets:
-            if t.id in seen:
-                out.pop(t.id, None)  # rebound: not a stable literal
-                continue
-            seen.add(t.id)
-            if value is not None and _is_literal_node(value):
-                out[t.id] = ast.unparse(value)
+
+    def scan(body) -> None:
+        for node in body:
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                continue  # inner bindings are not module globals
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    for n in ast.walk(t):
+                        if isinstance(n, ast.Name):
+                            bound[n.id] = bound.get(n.id, 0) + 1
+                            if (
+                                isinstance(t, ast.Name)
+                                and bound[n.id] == 1
+                                and _is_literal_node(node.value)
+                            ):
+                                out[n.id] = ast.unparse(node.value)
+            elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+                if isinstance(node.target, ast.Name):
+                    bound[node.target.id] = bound.get(node.target.id, 0) + 1
+                    if (
+                        isinstance(node, ast.AnnAssign)
+                        and node.value is not None
+                        and bound[node.target.id] == 1
+                        and _is_literal_node(node.value)
+                    ):
+                        out[node.target.id] = ast.unparse(node.value)
+            elif isinstance(node, (ast.For, ast.AsyncFor)):
+                for n in ast.walk(node.target):
+                    if isinstance(n, ast.Name):
+                        bound[n.id] = bound.get(n.id, 0) + 1
+                scan(node.body)
+                scan(node.orelse)
+            elif isinstance(node, ast.If):
+                scan(node.body)
+                scan(node.orelse)
+            elif isinstance(node, (ast.While,)):
+                scan(node.body)
+                scan(node.orelse)
+            elif isinstance(node, (ast.With, ast.AsyncWith)):
+                scan(node.body)
+            elif isinstance(node, ast.Try):
+                scan(node.body)
+                for h in node.handlers:
+                    scan(h.body)
+                scan(node.orelse)
+                scan(node.finalbody)
+
+    scan(tree.body)
+    for name, n in bound.items():
+        if n > 1:
+            out.pop(name, None)
     _ASSIGNS_CACHE[path] = out
     return out
 
