@@ -72,10 +72,15 @@ def _last_green() -> dict[str, int]:
 def _stale() -> set[str]:
     """Entries whose live fingerprint differs from their last-green
     round's recorded one (empty on any failure — ordering then degrades
-    to tiers 1+3, never crashes the driver contract)."""
-    from tv_event_streaming_spark.evidence import stale_entries
+    to tiers 1+3, never crashes the driver contract). The IMPORT sits
+    inside the guard too: a broken evidence.py must degrade the
+    ordering, not crash queries()."""
+    try:
+        from tv_event_streaming_spark.evidence import stale_entries
 
-    return stale_entries()
+        return stale_entries()
+    except Exception:
+        return set()
 
 
 def _ordered_names() -> list[str]:

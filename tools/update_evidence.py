@@ -146,8 +146,19 @@ def main() -> None:
                 )
                 continue
             entries[name] = {"round": rnd, "fingerprint": fps[name]}
+    # the absorbed-round marker must cover every CORRECTNESS file that
+    # EXISTS, not just rounds that produced green rows — an all-red or
+    # truncated round would otherwise make the absorption test red
+    # forever with a re-run remedy that cannot work
+    import glob as _glob
+    import re as _re
+
+    file_rounds = [
+        int(_re.search(r"r(\d+)\.json$", q).group(1))
+        for q in _glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+    ]
     doc = {
-        "round": max(rounds),
+        "round": max(file_rounds + list(rounds)),
         "commits": sources,
         "entries": dict(sorted(entries.items())),
     }

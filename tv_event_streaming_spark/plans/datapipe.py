@@ -1379,8 +1379,6 @@ def q_curation_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures, Jaccard-verify shingles, cluster identity labels, the
     # final keeper semi-join) — persist so the gate+dedup prefix runs
     # once (level/lifetime notes as dedup.ngram_jaccard_pairs)
-    from pyspark import StorageLevel  # noqa: PLC0415
-
     unique = gated.join(keepers, "doc_id", "left_semi").persist(
         StorageLevel.MEMORY_AND_DISK
     )
