@@ -268,3 +268,23 @@ def test_leakage_safe_splits_cluster_atomic(spark, docs_with_dups):
             continue
         assert split_of[r.doc_id + OFFSET] == split_of[r.doc_id]
     assert {r.split for r in out} == {"train", "val", "test"}
+
+
+def test_containment_catches_near_superset_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one scores
+    containment 1.0 while Jaccard stays small — the asymmetric signal
+    is the whole point of the metric."""
+    long_words = " ".join(f"w{i}" for i in range(120))
+    short_words = " ".join(f"w{i}" for i in range(10))  # strict prefix slice
+    docs = spark.createDataFrame(
+        [(1, long_words), (2, short_words), (3, "x0 x1 x2 x3 x4 x5")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): (r.containment, r.jaccard)
+        for r in D.ngram_containment_pairs(docs).collect()
+    }
+    assert set(pairs) == {(1, 2)}  # doc 3 shares nothing
+    c, j = pairs[(1, 2)]
+    assert c == 1.0  # all 8 of the short doc's 3-gram shingles are in the long doc
+    assert j < 0.1

@@ -150,6 +150,23 @@ def ngram_jaccard_pairs(
     # cannot unpersist; blocks are disk-spillable (MEMORY_AND_DISK) and
     # freed by ContextCleaner once the frame is garbage-collected.
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = _pair_shingle_counts(sh)
+    return counts.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+def _pair_shingle_counts(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, shared, na, nb) for every candidate pair of a
+    (doc_id, sh) distinct-shingle frame — the sufficient statistics
+    both Jaccard (shared/(na+nb-shared)) and containment
+    (shared/min(na,nb)) derive from. Callers persist `sh`: it feeds
+    the size aggregation and both self-join sides."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -160,17 +177,52 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("shared").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
-            ).alias("jaccard"),
+    return shared.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directional near-SUPERSET detection via Broder containment:
+    ``containment = shared/min(na, nb)`` = max over the two directions
+    of |A∩B|/|A| — the metric that catches a short document embedded
+    verbatim in a long one (quote pages, article+boilerplate wrappers,
+    chunk-of-other-doc), which symmetric Jaccard dilutes toward 0 as
+    the length ratio grows: a 50-shingle doc fully inside a
+    5000-shingle doc scores containment 1.0 but Jaccard 0.01.
+
+    Emits ``jaccard`` alongside so consumers can see the divergence
+    (containment≈1, jaccard≈0 IS the near-superset signature). Same
+    sufficient statistics, candidate discipline, and hot-shingle guard
+    as :func:`ngram_jaccard_pairs` — one persisted shingle frame, one
+    hash-equi self-join, one count aggregation; no new shuffle shape.
+    At scale, run it over the MinHash candidate pairs rather than all
+    shared-shingle pairs, exactly like the Jaccard verify tier."""
+    sh = _hashed_shingles(docs, text_col, n)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
         )
+        sh = sh.join(hot, "sh", "left_anti")
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = _pair_shingle_counts(sh)
+    return counts.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("shared").cast("double")
+            / F.least(F.col("na"), F.col("nb")).cast("double")
+        ).alias("containment"),
+        (
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
+        ).alias("jaccard"),
     )
 
 

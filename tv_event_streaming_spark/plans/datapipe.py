@@ -2045,3 +2045,43 @@ SELECT src_id, CAST(rank AS INTEGER) AS rank, dst_id, cos_sim FROM (
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_graph(emb, k=3, n_centroids=16)
+
+
+@register(
+    "ngram_containment_topk",
+    f"""
+WITH sh0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len({_TOKS})-1),
+                   i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])
+  )) AS shingle
+  FROM documents WHERE len({_TOKS}) >= 3
+),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 20),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(shared AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment,
+       CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY containment DESC, doc_a, doc_b LIMIT 20
+""",
+    doc="Broder containment near-superset detection: shared/min(|A|,|B|) "
+    "over distinct 3-gram shingles — catches a short doc embedded in a "
+    "long one, which symmetric Jaccard dilutes toward 0 (containment 1 "
+    "+ jaccard 0.01 IS the signature); same pair machinery and "
+    "hot-shingle guard as ngram_jaccard_topk "
+    "(operators/dedup.py:ngram_containment_pairs)",
+    tags=("dedup", "join"),
+)
+def q_ngram_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_containment_pairs(docs, max_doc_freq=20)
+    return pairs.orderBy(F.desc("containment"), "doc_a", "doc_b").limit(20)
