@@ -299,3 +299,18 @@ def test_bpe_apply_hierarchical_and_greedy(spark):
     }
     assert out["aaaa"] == "aa aa"
     assert out["aaa"] == "aa a"
+
+
+def test_char_stats_degenerate_and_edge_cases(spark):
+    """Gini 0 for a single repeated char (gate fails), balanced text
+    passes, empty text yields zeros with a vacuously-true gate."""
+    docs = spark.createDataFrame(
+        [(1, "aaaaaa"), (2, "abcdef"), (3, ""), (4, "aab")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TX.char_stats(docs).collect()}
+    assert out[1].gini_diversity == 0.0 and not out[1].top_char_ok
+    assert out[2].distinct_chars == 6 and out[2].top_char_ok
+    assert abs(out[2].gini_diversity - (1 - 6 / 36)) < 1e-12
+    assert out[3].n_chars == 0 and out[3].distinct_chars == 0 and out[3].top_char_ok
+    assert out[4].top_char_count == 2 and not out[4].top_char_ok  # 2*2 > 3

@@ -1141,3 +1141,65 @@ def bpe_apply(
         seg.alias("segments"),
         F.size(F.split(seg, " ")).cast("int").alias("n_symbols"),
     ).orderBy("word")
+
+
+# Character-distribution stats as ONE O(n log n) map-side pass: sort the
+# char array, then a single aggregate() scan over the contiguous runs
+# accumulates Σ count², the max count, and the distinct-char count.
+# Equals the oracle's explode+groupBy form with zero shuffle; the
+# quality signals derive as exact integer ratios (Gini diversity
+# 1 − Σc²/N², top-char share c_max/N).
+_CHAR_SCAN = (
+    "aggregate(array_sort(split({col}, '')), "
+    "named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), "
+    "'sumsq', CAST(0 AS BIGINT), 'maxrun', CAST(0 AS BIGINT), "
+    "'distinct', CAST(0 AS BIGINT)), "
+    "(acc, x) -> IF(x <=> acc.prev, "
+    "named_struct('prev', x, 'run', acc.run + 1L, 'sumsq', acc.sumsq, "
+    "'maxrun', acc.maxrun, 'distinct', acc.distinct), "
+    "named_struct('prev', x, 'run', 1L, "
+    "'sumsq', acc.sumsq + acc.run * acc.run, "
+    "'maxrun', GREATEST(acc.maxrun, acc.run), "
+    "'distinct', acc.distinct + 1L)), "
+    "acc -> named_struct("
+    "'sumsq', acc.sumsq + acc.run * acc.run, "
+    "'maxcount', GREATEST(acc.maxrun, acc.run), "
+    "'distinct', acc.distinct))"
+)
+
+
+def char_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-distribution quality signals — the
+    degenerate-text detectors (one repeated character, binary noise,
+    keyboard mash) that run BEFORE tokenization can even apply:
+
+    - ``n_chars``, ``distinct_chars``, ``top_char_count``;
+    - ``gini_diversity`` = 1 − Σc²/N² (0 for a single repeated char,
+      →1 for a uniform spread) as ONE double division of exact int64
+      sums — a log-free stand-in for character entropy that orders
+      distributions the same way at the gate thresholds and, unlike
+      entropy, is bit-exact across engines;
+    - ``top_char_ok``: no character exceeds half the text, compared as
+      ``2·c_max ≤ N`` (pure integers).
+
+    Scale shape: one map-side sorted-array scan per document (the
+    :data:`_TOP2GRAM_SCAN` pattern) — no explode, no shuffle at any
+    corpus size; the oracle states the same numbers via the quadratic
+    explode+groupBy form. Empty text yields zeros and a vacuously-true
+    gate."""
+    scan = F.expr(_CHAR_SCAN.format(col=text_col))
+    staged = docs.select("doc_id", F.length(text_col).alias("n_chars"), scan.alias("_cs"))
+    n = F.col("n_chars")
+    sumsq = F.col("_cs.sumsq")
+    cmax = F.col("_cs.maxcount")
+    return staged.select(
+        "doc_id",
+        n.cast("int").alias("n_chars"),
+        # split('', '') yields [''] — one phantom run; zero out on empty
+        F.when(n > 0, F.col("_cs.distinct")).otherwise(F.lit(0)).cast("int").alias("distinct_chars"),
+        F.when(n > 0, cmax).otherwise(F.lit(0)).cast("long").alias("top_char_count"),
+        F.when(n > 0, 1.0 - sumsq.cast("double") / (n * n).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("gini_diversity"),
+        ((n == 0) | (F.lit(2) * cmax <= n)).alias("top_char_ok"),
+    )

@@ -2085,3 +2085,41 @@ def q_ngram_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_containment_pairs(docs, max_doc_freq=20)
     return pairs.orderBy(F.desc("containment"), "doc_a", "doc_b").limit(20)
+
+
+@register(
+    "char_stats",
+    """
+WITH ch AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(text)+1), i -> text[i:i])) AS c
+  FROM documents
+),
+counts AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY doc_id, c),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS distinct_chars,
+         CAST(max(cnt) AS BIGINT) AS top_char_count,
+         CAST(sum(cnt*cnt) AS BIGINT) AS sumsq
+  FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars,
+       CAST(COALESCE(a.distinct_chars, 0) AS INTEGER) AS distinct_chars,
+       CAST(COALESCE(a.top_char_count, 0) AS BIGINT) AS top_char_count,
+       CASE WHEN length(d.text) > 0
+            THEN 1.0 - CAST(a.sumsq AS DOUBLE)
+                       / CAST(length(d.text)*length(d.text) AS DOUBLE)
+            ELSE 0.0 END AS gini_diversity,
+       (length(d.text) = 0 OR 2*COALESCE(a.top_char_count, 0) <= length(d.text))
+         AS top_char_ok
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+    doc="Character-distribution quality signals (degenerate-text "
+    "detection before tokenization): distinct chars, top-char count, "
+    "Gini diversity 1-sum(c^2)/N^2 (log-free, bit-exact entropy "
+    "stand-in), half-text top-char gate — ONE map-side sorted-array "
+    "scan per doc, zero shuffle; the oracle states the same numbers "
+    "via explode+groupBy (operators/text.py:char_stats)",
+    tags=("text", "quality"),
+)
+def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.char_stats(docs)
