@@ -438,3 +438,101 @@ def test_length_bucketed_batches_matches_python_reference(
         rn = counters.get(lb, 0)
         counters[lb] = rn + 1
         assert got[i] == (n, lb, rn // batch, rn % batch), (i, n, lb, rn)
+
+
+def _bpe_reference(word: str, merges) -> list[str]:
+    """Pure-Python BPE: one leftmost-non-overlapping pass per rule, in
+    table order — the contract bpe_apply documents."""
+    syms = list(word)
+    for x, y in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=12),
+        min_size=1,
+        max_size=15,
+        unique=True,
+    ),
+    merges=st.lists(
+        st.tuples(st.sampled_from("ab"), st.sampled_from("ab")),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_bpe_apply_matches_python_reference(spark, words, merges):
+    """The string-fold merge pass equals a pure-Python BPE pass for
+    arbitrary words over a tiny alphabet and arbitrary base-char rules
+    (base-char tables are trivially topologically ordered — the
+    documented exactness domain). 'ab' alphabet maximizes overlapping-
+    run and self-merge (x==y) adversaries."""
+    from tv_event_streaming_spark.operators.text import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    got = {
+        r.word: (r.segments.split(" "), r.n_symbols)
+        for r in bpe_apply(docs, merges=tuple(merges)).collect()
+    }
+    assert set(got) == set(words)
+    for w in words:
+        want = _bpe_reference(w, merges)
+        assert got[w] == (want, len(want)), (w, merges, got[w], want)
+
+
+@settings(**SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4).filter(
+            lambda v: any(x != 0 for x in v)
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_knn_graph_single_cell_matches_python_bruteforce(spark, vecs):
+    """With one centroid every vector shares the cell, so knn_graph
+    must equal global brute-force kNN: same quantized-int cosine, same
+    (cos desc, id asc) tie-break. Integer-valued vectors are exact in
+    float32/64, so the Python reference reproduces the doubles
+    bit-for-bit."""
+    import math
+
+    from tv_event_streaming_spark.operators.similarity import knn_graph
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.src_id, r.rank): (r.dst_id, r.cos_sim)
+        for r in knn_graph(emb, k=3, n_centroids=1).collect()
+    }
+    q = [[math.floor(x * 1_000_000) for x in v] for v in vecs]
+    norms = [sum(x * x for x in v) for v in q]
+    for i in range(len(vecs)):
+        scored = sorted(
+            (
+                (-(sum(a * b for a, b in zip(q[i], q[j])))
+                 / math.sqrt(float(norms[i]) * float(norms[j])), j)
+                for j in range(len(vecs))
+                if j != i
+            ),
+        )
+        for rank, (negcos, j) in enumerate(scored[:3], start=1):
+            assert got[(i, rank)] == (j, -negcos), (i, rank, got[(i, rank)], (j, -negcos))
+    assert len(got) == sum(min(3, len(vecs) - 1) for _ in vecs)
