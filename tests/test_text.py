@@ -314,3 +314,29 @@ def test_char_stats_degenerate_and_edge_cases(spark):
     assert abs(out[2].gini_diversity - (1 - 6 / 36)) < 1e-12
     assert out[3].n_chars == 0 and out[3].distinct_chars == 0 and out[3].top_char_ok
     assert out[4].top_char_count == 2 and not out[4].top_char_ok  # 2*2 > 3
+
+
+def test_winnowing_guarantee_and_sharing(spark):
+    """The winnowing guarantee: any shared run of window+n-1 = 6 tokens
+    yields at least one shared fingerprint; identical docs share ALL
+    fingerprints; sub-n docs yield none."""
+    shared_run = "s1 s2 s3 s4 s5 s6"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c {shared_run} d e"),
+            (2, f"p q {shared_run} r s t"),
+            (3, f"a b c {shared_run} d e"),
+            (4, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = TX.winnow_fingerprints(docs).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] == fps[3]  # identical docs
+    assert fps[1] & fps[2]   # shared 6-token run => >=1 common fingerprint
+    assert 4 not in fps      # 2 tokens < n: no shingles, no rows
+    # selection is sparse: fewer fingerprints than shingles
+    n_shingles_doc1 = len(f"a b c {shared_run} d e".split()) - 2
+    assert 1 <= len(fps[1]) < n_shingles_doc1

@@ -1203,3 +1203,74 @@ def char_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("gini_diversity"),
         ((n == 0) | (F.lit(2) * cmax <= n)).alias("top_char_ok"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every ORDERED word n-gram, slide a
+    ``window`` over the hash sequence, and keep the RIGHTMOST minimal
+    hash of each window. The selection guarantees that any shared run
+    of ``window + n - 1`` tokens between two documents yields at least
+    one shared (position-independent) fingerprint, while keeping only
+    ~2/(window+1) of all shingles — the principled sampling that makes
+    corpus-wide overlap detection cheap without the recall cliff of
+    arbitrary shingle sampling.
+
+    Output: one row per selected fingerprint (doc_id, pos, fp) with
+    ``pos`` the 1-based shingle position and ``fp`` the portable 64-bit
+    hash (md5-slice — oracle-matchable; swap xxhash64 at scale like the
+    other fingerprint tiers). Documents with at least one shingle but
+    fewer than ``window`` of them winnow over one whole-array window,
+    so every non-trivial document gets ≥1 fingerprint.
+
+    Scale shape: entirely map-side per document (two staged array
+    columns + one transform over windows picking an array_min of
+    (hash, -pos) structs — lexicographic min IS the rightmost-minimum
+    rule), then one explode of the ~m·2/(w+1) selected rows. No
+    shuffle; downstream overlap detection groups on ``fp`` exactly like
+    the shingle tiers, at a fraction of the rows."""
+    from .dedup import portable_hash64  # noqa: PLC0415 (avoid module cycle)
+
+    staged = staged_tokens(docs, text_col)
+    toks = F.col("_toks")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k) for k in range(n)]
+    )
+    ordered = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.withColumn("_grams", ordered).withColumn(
+        "_H", F.transform(F.col("_grams"), lambda g: portable_hash64(g))
+    )
+    m = F.size("_H")
+    L = F.least(F.lit(window), m)
+    n_windows = m - L + 1
+    picks = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(
+                F.transform(
+                    F.sequence(F.lit(0), L - 1),
+                    lambda j: F.named_struct(
+                        F.lit("h"), F.element_at(F.col("_H"), i + j),
+                        F.lit("negpos"), -(i + j),
+                    ),
+                )
+            ),
+        )
+    )
+    return (
+        staged.filter(m >= 1)
+        .select("doc_id", F.explode(picks).alias("_p"))
+        .select(
+            "doc_id",
+            (-F.col("_p.negpos")).cast("int").alias("pos"),
+            F.col("_p.h").alias("fp"),
+        )
+    )

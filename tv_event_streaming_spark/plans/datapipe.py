@@ -2123,3 +2123,44 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return TX.char_stats(docs)
+
+
+@register(
+    "winnow_fingerprints",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)-1),
+            i -> {_PH.format(x="toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")})) AS h,
+         unnest(range(1, len(toks)-1)) AS pos
+  FROM t WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM g GROUP BY doc_id),
+wins AS (
+  SELECT doc_id, unnest(range(1, m - LEAST(4, m) + 2)) AS ws, LEAST(4, m) AS l
+  FROM sizes
+),
+cand AS (
+  SELECT w.doc_id, w.ws, g.pos, g.h,
+         row_number() OVER (
+           PARTITION BY w.doc_id, w.ws ORDER BY g.h ASC, g.pos DESC
+         ) AS rn
+  FROM wins w JOIN g ON g.doc_id = w.doc_id
+                    AND g.pos BETWEEN w.ws AND w.ws + w.l - 1
+)
+SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos, h AS fp
+FROM cand WHERE rn = 1
+""",
+    doc="Winnowing fingerprint selection (the MOSS algorithm): rightmost "
+    "minimal 3-gram hash per 4-window — guarantees a shared fingerprint "
+    "for any shared 6-token run while keeping ~2/(w+1) of shingles; "
+    "entirely map-side (window transform + lexicographic array_min of "
+    "(hash,-pos) structs), one explode, no shuffle; the oracle states "
+    "the same selection relationally (windows join + rank) "
+    "(operators/text.py:winnow_fingerprints)",
+    tags=("text", "dedup", "fingerprint"),
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.winnow_fingerprints(docs, n=3, window=4)
