@@ -340,3 +340,23 @@ def test_winnowing_guarantee_and_sharing(spark):
     # selection is sparse: fewer fingerprints than shingles
     n_shingles_doc1 = len(f"a b c {shared_run} d e".split()) - 2
     assert 1 <= len(fps[1]) < n_shingles_doc1
+
+
+def test_winnow_overlap_detects_copied_passage(spark):
+    """Two docs sharing a long verbatim passage pair up with a high
+    shared-fingerprint count; unrelated docs don't pair at all."""
+    passage = " ".join(f"p{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two {passage} outro"),
+            (2, f"other start {passage} different end"),
+            (3, "completely unrelated words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in TX.winnow_overlap_pairs(docs, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 5
+    assert not any(3 in p for p in pairs)

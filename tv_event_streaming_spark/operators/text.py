@@ -1274,3 +1274,53 @@ def winnow_fingerprints(
             F.col("_p.h").alias("fp"),
         )
     )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Corpus-wide overlap detection on the winnowed fingerprints: pairs
+    of documents sharing at least ``min_shared`` selected fingerprints,
+    scored by the shared count — the MOSS pipeline end-to-end. Because
+    winnowing keeps ~2/(window+1) of shingles, the self-join runs over a
+    fraction of the rows the full shingle tiers shuffle, at the cost of
+    the documented guarantee (only runs of ``window+n-1`` tokens are
+    assured to collide — shorter overlaps may be missed, which is the
+    sampling trade).
+
+    Same candidate discipline as the shingle tiers: optional
+    ``max_doc_freq`` hot-fingerprint guard, distinct (doc, fp) before
+    the equi-self-join, one count aggregation. Output:
+    (doc_a, doc_b, shared_fps)."""
+    fps = (
+        winnow_fingerprints(docs, text_col, n, window)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -2125,10 +2125,9 @@ def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.char_stats(docs)
 
 
-@register(
-    "winnow_fingerprints",
-    f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# winnowing selection, relationally (windows join + rank) — shared by
+# the fingerprint entry and the overlap-pairs entry built on it
+_WINNOW_CTE = f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(toks)-1),
@@ -2148,9 +2147,18 @@ cand AS (
          ) AS rn
   FROM wins w JOIN g ON g.doc_id = w.doc_id
                     AND g.pos BETWEEN w.ws AND w.ws + w.l - 1
-)
-SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos, h AS fp
-FROM cand WHERE rn = 1
+),
+winnowed AS (
+  SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos, h AS fp
+  FROM cand WHERE rn = 1
+)"""
+
+
+@register(
+    "winnow_fingerprints",
+    f"""
+WITH {_WINNOW_CTE}
+SELECT doc_id, pos, fp FROM winnowed
 """,
     doc="Winnowing fingerprint selection (the MOSS algorithm): rightmost "
     "minimal 3-gram hash per 4-window — guarantees a shared fingerprint "
@@ -2164,3 +2172,32 @@ FROM cand WHERE rn = 1
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return TX.winnow_fingerprints(docs, n=3, window=4)
+
+
+@register(
+    "winnow_overlap_topk",
+    f"""
+WITH {_WINNOW_CTE},
+fpd AS (SELECT DISTINCT doc_id, fp FROM winnowed),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared_fps
+  FROM fpd a JOIN fpd b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2
+)
+SELECT doc_a, doc_b, shared_fps FROM pairs
+ORDER BY shared_fps DESC, doc_a, doc_b LIMIT 20
+""",
+    doc="MOSS end-to-end: top-20 document pairs by shared winnowed "
+    "fingerprints (>=2) — the overlap self-join runs on the ~2/(w+1) "
+    "selected rows instead of every shingle, with the shared-run "
+    "guarantee bounding what sampling can miss "
+    "(operators/text.py:winnow_overlap_pairs)",
+    tags=("text", "dedup", "join"),
+)
+def q_winnow_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = TX.winnow_overlap_pairs(docs, min_shared=2)
+    return pairs.orderBy(F.desc("shared_fps"), "doc_a", "doc_b").limit(20)
