@@ -1245,8 +1245,22 @@ def winnow_fingerprints(
         F.size(toks) >= n,
         F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
     ).otherwise(F.array().cast("array<string>"))
-    staged = staged.withColumn("_grams", ordered).withColumn(
-        "_H", F.transform(F.col("_grams"), lambda g: portable_hash64(g))
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    # The hash array MUST be materialized before the window scan: a
+    # staged-but-collapsed `_H` referenced from the nested window
+    # lambdas costs 23x (measured 14.2 s vs 0.6 s at sf0.1 — the
+    # element_at references inside per-(window, offset) lambda
+    # invocations defeat subexpression elimination). A repartition
+    # barrier does NOT fix it (column pruning pushes the pick
+    # projection below the exchange, re-collapsing); persist does —
+    # the picks then read a real InMemoryRelation attribute. Same
+    # level/lifetime notes as dedup.ngram_jaccard_pairs.
+    staged = (
+        staged.withColumn("_grams", ordered)
+        .withColumn("_H", F.transform(F.col("_grams"), lambda g: portable_hash64(g)))
+        .select("doc_id", "_H")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     m = F.size("_H")
     L = F.least(F.lit(window), m)
