@@ -1244,3 +1244,252 @@ def ann_recall_at_k(
             / F.lit(float(k))
         ).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half)
+# ---------------------------------------------------------------------------
+
+
+def _pq_codebook_row(
+    embeddings: DataFrame,
+    n_sub: int,
+    k_codes: int,
+    id_col: str,
+    vec_col: str,
+):
+    """One broadcastable row holding the full PQ codebook: for each
+    subspace ``m`` (of ``n_sub``), ``k_codes`` codewords seeded from the
+    sub-vectors of the vectors with ``id < k_codes`` (the same
+    deterministic seeding rule the IVF/k-means tier uses, so the
+    codebook is reproducible in any engine with no RNG). Components are
+    int64-quantized driver-side. Returns (codebook_df, sub_dim)."""
+    import math  # noqa: PLC0415
+
+    spark = embeddings.sparkSession
+    seed_rows = sorted(
+        embeddings.filter(F.col(id_col) < k_codes).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    if len(seed_rows) != k_codes:
+        raise ValueError(
+            f"PQ seeding expects ids 0..{k_codes - 1} to exist; "
+            f"found {len(seed_rows)}"
+        )
+    dims = len(seed_rows[0][1])
+    if dims % n_sub:
+        raise ValueError(f"dims={dims} not divisible by n_sub={n_sub}")
+    sub = dims // n_sub
+    entries = []
+    for m in range(n_sub):
+        for r in seed_rows:
+            qsub = [
+                int(math.floor(float(x) * QUANT))
+                for x in r[1][m * sub : (m + 1) * sub]
+            ]
+            entries.append((m, int(r[0]), qsub))
+    cb = spark.createDataFrame(
+        [(entries,)], "_cb array<struct<m:int,code:int,qc:array<bigint>>>"
+    )
+    return cb, sub
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``n_sub``
+    subspaces and replace every sub-vector by the id of its nearest
+    codeword (exact int64 squared-L2, ties to the lowest code id) —
+    the compression that makes billion-vector ANN fit in RAM
+    (64 dims × float32 → ``n_sub`` bytes here; the IVF half of IVF-PQ
+    is :func:`cosine_topk_ivf`/:func:`build_ivf_index`).
+
+    Returns one row per (vector, subspace): ``(id, m, code, qdist)``
+    with ``qdist`` the exact quantized squared distance to the chosen
+    codeword (the per-subspace reconstruction error, summable per
+    vector).
+
+    Scale shape: the whole codebook travels as ONE broadcast row;
+    scoring + per-subspace argmin happen inside a single expression
+    chain per row (one ``transform`` over the codebook array — one
+    evaluation of the staged quantized vector — then one lexicographic
+    ``array_sort`` of (m, qdist, code) structs, in which the rn=1 row
+    of each subspace sits at a compile-time-known index i·k_codes,
+    picked by ONE indexed ``filter`` pass). No corpus shuffle, no
+    per-row Python, no repeated lambda references to staged arrays
+    (SCALE.md §6c inlining family)."""
+    cb, sub = _pq_codebook_row(embeddings, n_sub, k_codes, id_col, vec_col)
+    staged = embeddings.select(
+        F.col(id_col), F.transform(F.col(vec_col), _q).alias("_qv")
+    )
+
+    scored = F.transform(
+        F.col("_cb"),
+        lambda e: F.named_struct(
+            F.lit("m"),
+            e["m"],
+            F.lit("qdist"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("_qv"), e["m"] * sub + 1, sub),
+                    e["qc"],
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+            F.lit("code"),
+            e["code"],
+        ),
+    )
+    # sorted lexicographically by (m, qdist, code): subspace m's best
+    # codeword sits exactly at index m*k_codes — one indexed filter pass
+    # extracts all argmins without re-referencing the scored array
+    firsts = F.filter(F.array_sort(scored), lambda e, i: i % k_codes == 0)
+    return (
+        staged.crossJoin(F.broadcast(cb))
+        .select(F.col(id_col), F.explode(firsts).alias("_e"))
+        .select(
+            id_col,
+            F.col("_e")["m"].alias("m"),
+            F.col("_e")["code"].alias("code"),
+            F.col("_e")["qdist"].alias("qdist"),
+        )
+    )
+
+
+def pq_index(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ code table in per-vector form — ``(id, codes array<int>)``
+    with ``codes[m]`` the subspace-m codeword id — PERSISTED, because
+    the ADC scan references ``codes`` from inside nested lambdas and a
+    staged (non-materialized) array there re-inlines the whole encode
+    pipeline per reference (SCALE.md §6c, the 23× winnowing case:
+    exchange barriers don't stop the collapse; an InMemoryRelation
+    attribute does). Persisting is also semantically the point: this IS
+    the index build, done once, scanned by every query after."""
+    enc = pq_encode(embeddings, n_sub, k_codes, id_col, vec_col)
+    return (
+        enc.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("m", "code")),
+                ),
+                lambda e: e["code"],
+            ).alias("codes")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def cosine_topk_pq_adc(
+    embeddings: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k scan over PQ codes: each query
+    keeps full precision and precomputes a ``n_sub × k_codes`` lookup
+    table of partial squared distances to every codeword; a corpus
+    vector's approximate distance is then ``n_sub`` table lookups summed
+    — no vector arithmetic touches the corpus at query time, and the
+    scan reads only the (id, codes) index, ~n_sub bytes/vector instead
+    of the embeddings.
+
+    Exact-integer throughout (LUT entries are int64 partial sums of
+    quantized components), so ranking is deterministic and
+    oracle-checkable. Ties break on neighbor id.
+
+    Scale shape: LUTs for all queries travel as ONE broadcast row
+    (|Q|·n_sub·k_codes ints); per corpus row the distance to every
+    query is one ``zip_with(codes, lut)`` lookup-fold over the
+    PERSISTED code table (see :func:`pq_index` for why persistence,
+    not an exchange, is the materialization point); the only shuffle
+    is the per-query top-k window over |Q|·N scored rows — the same
+    shape every scan-ANN here accepts, minus the vector math."""
+    import math  # noqa: PLC0415
+
+    spark = embeddings.sparkSession
+    codes = pq_index(embeddings, n_sub, k_codes, id_col, vec_col)
+
+    seed_rows = sorted(
+        embeddings.filter(F.col(id_col) < k_codes).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    dims = len(seed_rows[0][1])
+    sub = dims // n_sub
+    cbq = [
+        [
+            [
+                int(math.floor(float(x) * QUANT))
+                for x in r[1][m * sub : (m + 1) * sub]
+            ]
+            for r in seed_rows
+        ]
+        for m in range(n_sub)
+    ]
+    q_rows = embeddings.filter(query_filter).select(id_col, vec_col).collect()
+    luts = []
+    for qr in q_rows:
+        qq = [int(math.floor(float(x) * QUANT)) for x in qr[1]]
+        lut = [
+            [
+                sum(
+                    (qq[m * sub + d] - cw[d]) * (qq[m * sub + d] - cw[d])
+                    for d in range(sub)
+                )
+                for cw in cbq[m]
+            ]
+            for m in range(n_sub)
+        ]
+        luts.append((int(qr[0]), lut))
+    lut_row = spark.createDataFrame(
+        [(luts,)], "_lut array<struct<query_id:bigint,l:array<array<bigint>>>>"
+    )
+
+    per_query = F.transform(
+        F.col("_lut"),
+        lambda u: F.named_struct(
+            F.lit("query_id"),
+            u["query_id"],
+            F.lit("adist"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    u["l"],
+                    lambda c, lm: F.element_at(lm, c + 1),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(lut_row))
+        .select(F.col(id_col).alias("neighbor_id"), F.explode(per_query).alias("_s"))
+        .select(
+            F.col("_s")["query_id"].alias("query_id"),
+            "neighbor_id",
+            F.col("_s")["adist"].alias("adist"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "adist")
+    )

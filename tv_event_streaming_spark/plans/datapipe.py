@@ -2201,3 +2201,88 @@ def q_winnow_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = TX.winnow_overlap_pairs(docs, min_shared=2)
     return pairs.orderBy(F.desc("shared_fps"), "doc_a", "doc_b").limit(20)
+
+
+# PQ sub-vector quantizer twin: subspace m's slice of vector v, int64-quantized
+_PQSUB = (
+    "list_transform(list_slice({v}, {m}*8+1, {m}*8+8), "
+    f"x -> {_Q.format(x='x')})"
+)
+# exact squared L2 between two quantized sub-vectors
+_PQDIST = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+)
+_PQ_CB_CTE = f"""cb AS (
+  SELECT m, CAST(vec_id AS INTEGER) AS code,
+         {_PQSUB.format(v='embedding', m='m')} AS qc
+  FROM embeddings, (SELECT CAST(unnest(range(8)) AS INTEGER) AS m)
+  WHERE vec_id < 16
+)"""
+_PQ_ENC_CTE = f"""dist AS (
+  SELECT e.vec_id, cb.m, cb.code,
+         {_PQDIST.format(a=_PQSUB.format(v='e.embedding', m='cb.m'), b='cb.qc')} AS qdist
+  FROM embeddings e, cb
+),
+enc AS (
+  SELECT vec_id, m, code, qdist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY qdist, code) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "pq_encode",
+    f"""
+WITH {_PQ_CB_CTE},
+{_PQ_ENC_CTE}
+SELECT vec_id, m, code, qdist FROM enc
+""",
+    doc="Product-quantization encoding: 64-dim vectors -> 8 subspaces x "
+    "16 deterministic seed codewords (id<16 sub-vectors), nearest "
+    "codeword by exact int64 squared-L2, ties to lowest code; qdist is "
+    "the per-subspace reconstruction error. The compression half of "
+    "IVF-PQ — n_sub bytes/vector instead of float dims "
+    "(operators/similarity.py:pq_encode; codebook travels as one "
+    "broadcast row, argmin via one sorted indexed-filter pass)",
+    tags=("similarity", "index"),
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_encode(emb, n_sub=8, k_codes=16)
+
+
+@register(
+    "ann_pq_adc",
+    f"""
+WITH {_PQ_CB_CTE},
+{_PQ_ENC_CTE},
+lut AS (
+  SELECT q.vec_id AS query_id, cb.m, cb.code,
+         {_PQDIST.format(a=_PQSUB.format(v='q.embedding', m='cb.m'), b='cb.qc')} AS ldist
+  FROM embeddings q, cb WHERE q.vec_id < 5
+),
+scored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         CAST(sum(l.ldist) AS BIGINT) AS adist
+  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="Asymmetric-distance (ADC) top-5 over PQ codes: full-precision "
+    "queries precompute an 8x16 int64 LUT of partial squared distances "
+    "(one broadcast row for all queries); corpus distance = 8 table "
+    "lookups summed over the PERSISTED (id, codes) index — query-time "
+    "scan touches ~8 bytes/vector and zero vector arithmetic "
+    "(operators/similarity.py:cosine_topk_pq_adc, pq_index)",
+    tags=("similarity",),
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_pq_adc(emb, F.col("vec_id") < 5, k=5, n_sub=8, k_codes=16)
