@@ -67,3 +67,48 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zvalue_interleaves_bits(spark):
+    from tv_event_streaming_spark.operators.layout import zvalue
+
+    # (d1, d2) = (0b11, 0b00) -> odd bit positions set: 0b1010
+    # (d1, d2) = (0b00, 0b11) -> even positions: 0b0101
+    df = spark.createDataFrame(
+        [(3, 0), (0, 3), (1023, 1023)], "d1 long, d2 long"
+    ).select(zvalue(F.col("d1"), F.col("d2")).alias("z"))
+    assert [r.z for r in df.collect()] == [0b1010, 0b0101, (1 << 20) - 1]
+
+
+def test_zorder_buckets_have_locality_in_both_dims(spark, sf_dir):
+    """The point of Z-order: every leading-bit bucket covers a SMALL
+    min/max box in BOTH dimensions, so footer-stat pruning works for
+    predicates on either column. With 6 leading bits (3 per dimension),
+    each bucket spans at most 1/8 of each dimension's 0..1023 range."""
+    from tv_event_streaming_spark.operators.layout import zorder_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = zorder_stats(ev, bits=10, bucket_bits=6).collect()
+    assert len(rows) <= 64
+    for r in rows:
+        assert r.max_d1 - r.min_d1 <= 1024 // 8 - 1, r
+        assert r.max_d2 - r.min_d2 <= 1024 // 8 - 1, r
+
+
+def test_revenue_cube_levels_are_consistent(spark, sf_dir):
+    """The grand-total row equals the sum of each full-granularity
+    level — the cube's internal consistency across grouping sets."""
+    from tv_event_streaming_spark.plans import CATALOG
+
+    rows = CATALOG["revenue_cube"].build(spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    # gid bitmask MSB-first: 0 = both dims, 1 = priority rolled up,
+    # 2 = region rolled up, 3 = grand total
+    assert set(by_gid) == {0, 1, 2, 3}
+    total = by_gid[3][0]
+    assert len(by_gid[3]) == 1
+    for gid in (0, 1, 2):
+        assert sum(r.n_orders for r in by_gid[gid]) == total.n_orders
+        assert abs(sum(r.total_price for r in by_gid[gid]) - total.total_price) < 1e-6

@@ -270,3 +270,47 @@ def table_profile(events: DataFrame, approx: bool = False) -> DataFrame:
     return wide.select("n_rows", per_col).select(
         "p.col_name", "n_rows", "p.n_distinct", "p.n_nulls", "p.min_str", "p.max_str"
     )
+
+
+def daily_retention(events: DataFrame) -> DataFrame:
+    """Day-over-day cohort retention — the growth-analytics staple
+    (no reference analogue; the events table is the natural host):
+    for each active day, how many of that day's users were ALSO active
+    the previous day, and the retention rate.
+
+    Shape: distinct (user_id, day) collapses the corpus map-side before
+    anything windowed runs; lag() over the per-user day sequence marks
+    retained days; one date-sized groupBy finishes. The only corpus
+    shuffle is the distinct; the window and final agg run on
+    users×active-days rows. Rate = exact integer counts through one
+    double division — bit-identical cross-engine."""
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    marked = days.withColumn(
+        "retained",
+        F.when(
+            F.date_diff(F.col("day"), F.lag("day").over(w)) == 1, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    # day emitted as midnight TIMESTAMP, not DATE: pandas/Arrow bridges
+    # canonicalize DATE differently per engine (the hourly_metrics
+    # date_trunc precedent), and the lag arithmetic above already ran
+    # on true DATEs
+    return (
+        marked.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum("retained").cast("long").alias("n_retained"),
+            (
+                F.sum("retained").cast("double") / F.count("*").cast("double")
+            ).alias("retention_rate"),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "n_active",
+            "n_retained",
+            "retention_rate",
+        )
+    )

@@ -112,3 +112,56 @@ def bucketed_join(
     """Equi-join two co-bucketed tables; with matching bucketing the plan
     contains SortMergeJoin with NO Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def zvalue(d1: Column, d2: Column, bits: int = 10) -> Column:
+    """Morton (Z-order) interleaving of two ``bits``-bit non-negative
+    ints into one ``2·bits``-bit locality key: bit i of ``d1`` lands at
+    position 2i+1, bit i of ``d2`` at 2i. Pure integer bit arithmetic
+    unrolled at plan-build time (2·bits terms inside whole-stage
+    codegen) — identical in any engine, no UDF."""
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(d1.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(d2.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return out
+
+
+def zorder_stats(
+    events: DataFrame, bits: int = 10, bucket_bits: int = 6
+) -> DataFrame:
+    """Z-order clustering stats for 2-dimensional data skipping — the
+    OPTIMIZE ZORDER story: lay the table out in Morton order of
+    (user bucket, minute-of-day) and a predicate on EITHER dimension
+    prunes most files, because each Z-range file covers a small
+    min/max box in BOTH dimensions (a single-column sort gives perfect
+    pruning on one dimension and none on the other).
+
+    Emits, per leading ``bucket_bits`` of the z-value (= one file/row
+    group under a z-sorted write): row count and the min/max box of
+    each dimension — exactly the footer stats a scan would skip on.
+    tests/test_layout.py asserts the locality property: the mean box
+    side is a small fraction of each dimension's global range.
+
+    Shape: the z-value is map-side bit math; the stats are one
+    grouped agg over ≤ 2^bucket_bits groups. The z-sorted WRITE at
+    scale is ``df.repartitionByRange(n, zval).sortWithinPartitions``
+    — the same one-time shuffle any clustered layout pays."""
+    mask = (1 << bits) - 1
+    d1 = F.pmod(F.col("user_id"), F.lit(mask + 1)).cast("long")
+    d2 = F.pmod(
+        (F.hour("ts") * 60 + F.minute("ts")).cast("long"), F.lit(mask + 1)
+    ).cast("long")
+    staged = events.select(d1.alias("d1"), d2.alias("d2")).withColumn(
+        "zbucket", F.shiftright(zvalue(F.col("d1"), F.col("d2"), bits), 2 * bits - bucket_bits)
+    )
+    return staged.groupBy("zbucket").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("d1").alias("min_d1"),
+        F.max("d1").alias("max_d1"),
+        F.min("d2").alias("min_d2"),
+        F.max("d2").alias("max_d2"),
+    )

@@ -898,3 +898,69 @@ def q_ref_data_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("name"),
     )
     return valid_ref_data(dirtied, "id", "name")
+
+
+@register(
+    "user_retention",
+    """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+marked AS (
+  SELECT day,
+         CASE WHEN day - lag(day) OVER (PARTITION BY user_id ORDER BY day) = 1
+              THEN 1 ELSE 0 END AS retained
+  FROM days
+)
+SELECT CAST(day AS TIMESTAMP) AS day, CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(retained) AS BIGINT) AS n_retained,
+       CAST(sum(retained) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS retention_rate
+FROM marked GROUP BY day
+""",
+    doc="Day-over-day cohort retention: distinct (user, day) collapses "
+    "map-side, lag() marks retained days per user, one date-sized final "
+    "agg; rate = exact integer counts through one double division "
+    "(operators/analytics.py:daily_retention)",
+    tags=("window", "agg", "analytics"),
+)
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.daily_retention(load_table(spark, sf_dir, "events"))
+
+
+def _zvalue_sql(d1: str, d2: str, bits: int = 10) -> str:
+    """SQL twin of layout.zvalue — the identical unrolled bit interleave."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({d1} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({d2} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "zorder_stats",
+    f"""
+WITH dims AS (
+  SELECT user_id % 1024 AS d1,
+         CAST(hour(ts) * 60 + minute(ts) AS BIGINT) % 1024 AS d2
+  FROM events
+),
+z AS (
+  SELECT d1, d2, {_zvalue_sql('d1', 'd2')} >> 14 AS zbucket FROM dims
+)
+SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(d1) AS min_d1, max(d1) AS max_d1,
+       min(d2) AS min_d2, max(d2) AS max_d2
+FROM z GROUP BY zbucket
+""",
+    doc="Z-order (Morton) clustering stats for 2-D data skipping — the "
+    "OPTIMIZE ZORDER story: per leading-6-bit z-range (= one file under "
+    "a z-sorted write), the min/max box of (user bucket, minute-of-day) "
+    "that footer-stat pruning would skip on; predicates on EITHER "
+    "dimension prune most ranges, where a single-column sort prunes one "
+    "dimension only. Pure unrolled bit math in whole-stage codegen, one "
+    "64-group agg (operators/layout.py:zvalue, zorder_stats; locality "
+    "asserted in tests/test_layout.py)",
+    tags=("layout", "agg"),
+)
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import layout as L  # noqa: PLC0415
+
+    return L.zorder_stats(load_table(spark, sf_dir, "events"))

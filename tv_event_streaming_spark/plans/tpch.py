@@ -315,3 +315,44 @@ def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "revenue_cube",
+    """
+SELECT r_name, o_orderpriority,
+       CAST(GROUPING(r_name, o_orderpriority) AS INTEGER) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE(r_name, o_orderpriority)
+""",
+    doc="CUBE multi-granularity rollup — region × priority revenue with "
+    "all four subtotal levels in ONE pass (the OLAP cube/grouping-sets "
+    "family nothing else in the catalog exercises). Spark expands the "
+    "cube into grouping sets BEFORE the exchange, so partial aggregation "
+    "still collapses map-side and the shuffle carries per-set partials, "
+    "not the fact table ×4; dims broadcast. grouping_id disambiguates "
+    "subtotal rows from genuine NULL dimension values — both engines "
+    "emit the identical MSB-first bitmask (operators: cube/rollup are "
+    "Catalyst built-ins; no custom code needed — that IS the point).",
+    tags=("agg", "cube", "bench"),
+)
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.cube("r_name", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").cast("long").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), "total_price"),
+    )
