@@ -112,3 +112,47 @@ def test_revenue_cube_levels_are_consistent(spark, sf_dir):
     for gid in (0, 1, 2):
         assert sum(r.n_orders for r in by_gid[gid]) == total.n_orders
         assert abs(sum(r.total_price for r in by_gid[gid]) - total.total_price) < 1e-6
+
+
+def test_bloom_prunes_without_false_negatives(spark, sf_dir):
+    from tv_event_streaming_spark.operators.layout import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    bits = bloom_build(urgent, "o_orderkey")
+    pruned = bloom_might_contain(li, "l_orderkey", bits)
+
+    n_total = li.count()
+    n_pruned = pruned.count()
+    n_true = li.join(
+        urgent, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    ).count()
+    # no false negatives: everything that truly joins survives the bloom
+    missed = (
+        li.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(pruned.select("l_orderkey", "l_linenumber"), ["l_orderkey", "l_linenumber"], "left_anti")
+        .count()
+    )
+    assert missed == 0
+    # real pruning: the bloom keeps the true matches plus a small
+    # false-positive tail, far below the full table (urgent is ~20% of
+    # orders, so >50% of lineitem must be pruned at the configured fp)
+    assert n_true <= n_pruned < n_total // 2, (n_true, n_pruned, n_total)
+
+
+def test_bloom_probe_is_exact_for_members(spark):
+    from tv_event_streaming_spark.operators.layout import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(1000).select(F.col("id").alias("k"))
+    bits = bloom_build(keys, "k", m_bits=1 << 14)
+    kept = bloom_might_contain(keys, "k", bits).count()
+    assert kept == 1000  # every inserted key must probe positive

@@ -165,3 +165,94 @@ def zorder_stats(
         F.min("d2").alias("min_d2"),
         F.max("d2").alias("max_d2"),
     )
+
+
+def _bloom_positions(h32: Column, m_bits: int, k: int) -> list[Column]:
+    """k affine-hash bit positions (the deterministic ``minhash_coeffs``
+    family dedup uses): (a_i·h32 + b_i) mod 2^32 mod m_bits."""
+    from .dedup import minhash_coeffs  # noqa: PLC0415
+
+    out = []
+    for i in range(k):
+        a, b = minhash_coeffs(i)
+        out.append(F.pmod(F.lit(a) * h32 + F.lit(b), F.lit(1 << 32)) % m_bits)
+    return out
+
+
+def _bloom_base(key_col: str, portable: bool) -> Column:
+    from .dedup import portable_hash64  # noqa: PLC0415
+
+    key = F.col(key_col).cast("string")
+    base = portable_hash64(key) if portable else F.xxhash64(key)
+    return F.pmod(base, F.lit(1 << 32))
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 18, k: int = 4,
+    portable: bool = False,
+) -> list[int]:
+    """Build a Bloom filter over a (small) key set, packed 64 bits/word:
+    k affine-hash positions per key, OR-ed into words JVM-side (one
+    ``bit_or`` aggregation over ≤ m_bits/64 groups — map-side partials
+    collapse the key set before the shuffle), densified driver-side.
+    Only m_bits/64 longs cross the Py4J boundary and later broadcast
+    (32 KB at the default 2^18 bits) — the boolean-per-position form
+    cost ~2 s/attempt in raw driver↔JVM serialization alone.
+
+    xxhash64 by default: a bloom never needs a cross-engine twin
+    (membership errors are one-sided; any downstream exact join removes
+    false positives), so the md5 portable hash is opt-in only."""
+    h32 = _bloom_base(key_col, portable)
+    pos = _bloom_positions(F.col("_h32"), m_bits, k)
+    words = (
+        keys.select(h32.alias("_h32"))
+        .select(F.explode(F.array(*pos)).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    dense = [0] * (m_bits // 64)
+    for r in words:
+        dense[int(r.w)] = int(r.bits)
+    return dense
+
+
+def bloom_might_contain(
+    df: DataFrame, key_col: str, words: list[int], k: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Filter ``df`` to rows whose key MIGHT be in the bloom (no false
+    negatives; false positives at the filter's configured rate). The
+    word array travels as ONE broadcast data row (never plan literals —
+    analyzer cost); the probe is an ``aggregate`` fold over the
+    k-position array — per-row hash computed once regardless of k, bit
+    test via ``bit_get`` on the looked-up word. Map-side only: this is
+    the semi-join reduction that prunes a fact table BEFORE its join
+    shuffle at 100 TB."""
+    m_bits = len(words) * 64
+    spark = df.sparkSession
+    bloom_row = spark.createDataFrame([(words,)], "_bloom array<bigint>")
+    h32 = _bloom_base(key_col, portable)
+    pos = _bloom_positions(F.col("_h32"), m_bits, k)
+    staged = df.withColumn("_h32", h32).withColumn("_pos", F.array(*pos))
+    probed = staged.crossJoin(F.broadcast(bloom_row)).filter(
+        F.aggregate(
+            F.col("_pos"),
+            F.lit(True),
+            lambda acc, p: acc
+            & (
+                F.bit_get(
+                    F.element_at(F.col("_bloom"), (p / 64).cast("int") + 1),
+                    F.pmod(p, F.lit(64)).cast("int"),
+                )
+                == 1
+            ),
+        )
+    )
+    return probed.drop("_h32", "_pos", "_bloom")

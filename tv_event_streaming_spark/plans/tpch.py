@@ -356,3 +356,45 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         _dec_sum(F.col("o_totalprice"), "total_price"),
     )
+
+
+@register(
+    "bloom_semi_reduction",
+    """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+""",
+    doc="Bloom-filter semi-join reduction: a ~2%-fp bloom over the "
+    "urgent-order keys broadcasts (one boolean-array row) and prunes "
+    "lineitem MAP-SIDE before the join shuffle — the runtime-filter "
+    "pattern that keeps a 100 TB fact table from shuffling rows the "
+    "dim-side predicate would discard anyway. Result is EXACTLY the "
+    "plain join (no false negatives; false positives die in the real "
+    "join), which is what the oracle checks; the pruning itself is "
+    "asserted in tests/test_layout.py "
+    "(operators/layout.py:bloom_build, bloom_might_contain)",
+    tags=("join", "layout", "bench"),
+)
+def q_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import bloom_build, bloom_might_contain  # noqa: PLC0415
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    # xxhash64 on both sides: the oracle is the PLAIN join (the bloom
+    # changes no result rows), so the hash needs no cross-engine twin —
+    # take the scale-path hash, not the md5 portable one
+    bits = bloom_build(urgent, "o_orderkey", portable=False)
+    pruned = bloom_might_contain(li, "l_orderkey", bits, portable=False)
+    joined = pruned.join(
+        urgent, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_items"),
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+    )
