@@ -2286,3 +2286,79 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adist FROM (
 def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_topk_pq_adc(emb, F.col("vec_id") < 5, k=5, n_sub=8, k_codes=16)
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    """One fixed-point PageRank step as SQL — the exact integer twin of
+    graph.pagerank_fixedpoint's loop body."""
+    return f"""{out} AS (
+  SELECT n.node,
+         CAST((SELECT (15 * (1000000000000 // n)) // 100 FROM nn)
+              + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst_id AS node,
+           CAST(SUM(r.rank_fp // d.deg) AS BIGINT) AS c
+    FROM edges e
+    JOIN {prev} r ON e.src_id = r.node
+    JOIN outdeg d ON e.src_id = d.src_id
+    GROUP BY e.dst_id
+  ) s ON s.node = n.node
+)"""
+
+
+_PAGERANK_ITERS = ",\n".join(
+    _pagerank_iter_sql(f"r{i}", f"r{i + 1}") for i in range(3)
+)
+
+
+@register(
+    "knn_pagerank",
+    f"""
+WITH {_ASSIGN_CTE},
+scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         {_DOT.format(a='a.embedding', b='b.embedding')}
+         / sqrt({_NORMSQ.format(v='a.embedding')} * {_NORMSQ.format(v='b.embedding')}) AS cos_sim
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+),
+edges AS (
+  SELECT src_id, dst_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src_id ORDER BY cos_sim DESC, dst_id
+    ) AS rank FROM scored
+  ) WHERE rank <= 3
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src_id AS node FROM edges
+    UNION ALL SELECT dst_id AS node FROM edges
+  )
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+outdeg AS (
+  SELECT src_id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src_id
+),
+r0 AS (
+  SELECT node, CAST((SELECT 1000000000000 // n FROM nn) AS BIGINT) AS rank_fp
+  FROM nodes
+),
+{_PAGERANK_ITERS}
+SELECT node, rank_fp, CAST(rank_fp AS DOUBLE) / 1000000000000 AS rank FROM r3
+""",
+    doc="Fixed-point PageRank (3 synchronous steps, damping 85/100, all "
+    "int64 floor arithmetic — the deterministic skeleton of the float "
+    "algorithm) over the cell-confined kNN graph: the centrality signal "
+    "behind graph-based quality scoring and diversity sampling. Per "
+    "step: edges→ranks join on src, map-side-partial groupBy(dst), "
+    "node-sized left join; edges persisted, ranks lazy, driver sees one "
+    "count. In-edge sums are bounded by total rank mass so int64 never "
+    "overflows at any graph size "
+    "(operators/graph.py:pagerank_fixedpoint)",
+    tags=("graph", "iterative"),
+)
+def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_fixedpoint  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = S.knn_graph(emb, k=3, n_centroids=16).select("src_id", "dst_id")
+    return pagerank_fixedpoint(edges, iters=3).withColumnRenamed("node", "node")
