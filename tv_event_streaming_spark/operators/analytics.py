@@ -314,3 +314,80 @@ def daily_retention(events: DataFrame) -> DataFrame:
             "retention_rate",
         )
     )
+
+
+def rolling_event_window(events: DataFrame, window_minutes: int = 60) -> DataFrame:
+    """Per-EVENT trailing window — for every event, that user's count
+    and value sum over the preceding ``window_minutes`` (inclusive of
+    the current row): the continuous form of the bucketed trailing-1h
+    metric (A6), and the one window shape nothing else in the catalog
+    exercises — a RANGE frame (value-based bounds on exact integer
+    microseconds, so frame membership is deterministic cross-engine;
+    peers at the same (user, ts) are in-frame on both engines by the
+    RANGE definition).
+
+    One shuffle on user_id; the frame scan is the standard sliding
+    aggregation within each sorted partition. Value sums accumulate in
+    DECIMAL with one final double cast."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-window_minutes * 60 * 1_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("long").alias("n_trailing"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("value_trailing"),
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def daily_event_pivot(events: DataFrame) -> DataFrame:
+    """Wide daily activity matrix — one row per day, one count column
+    per event type: the pivot (long→wide) operator family. The pivot
+    value list is EXPLICIT (the deterministic-schema requirement: an
+    inferred pivot runs an extra distinct job and its column order
+    depends on the data); Spark executes it as a single groupBy with
+    PivotFirst — one shuffle on day, map-side partials, never a
+    per-type pass."""
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    pivoted = (
+        events.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+def daily_event_unpivot(events: DataFrame) -> DataFrame:
+    """The inverse (wide→long, ``unpivot``/melt): the daily matrix back
+    to (day, event_type, n) rows — the shape every metrics store
+    ingests. Runs map-side over the already-aggregated wide frame
+    (Spark's Expand node: one input row → n_types output rows, no
+    shuffle beyond the pivot's own); zero-count cells are kept (the
+    honest dense matrix) so the long form is exactly days × types."""
+    wide = daily_event_pivot(events)
+    return wide.unpivot(
+        ["day"],
+        [f"n_{t}" for t in EVENT_TYPES],
+        "event_type",
+        "n",
+    ).select(
+        "day",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+    )

@@ -964,3 +964,67 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import layout as L  # noqa: PLC0415
 
     return L.zorder_stats(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "rolling_event_value",
+    """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS value_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    doc="Per-event trailing-60min count/value-sum per user — the RANGE "
+    "window frame (value bounds on exact integer microseconds), the one "
+    "window shape the catalog didn't exercise; continuous twin of A6's "
+    "hourly buckets (operators/analytics.py:rolling_event_window)",
+    tags=("window", "time-window"),
+)
+def q_rolling_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.rolling_event_window(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "daily_event_pivot",
+    """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY day
+""",
+    doc="Daily activity matrix via pivot (long->wide) with an EXPLICIT "
+    "value list — deterministic schema, one PivotFirst groupBy pass, no "
+    "per-type scans (operators/analytics.py:daily_event_pivot)",
+    tags=("agg", "pivot"),
+)
+def q_daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.daily_event_pivot(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "daily_event_unpivot",
+    """
+WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+c AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day, event_type
+)
+SELECT d.day, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM d CROSS JOIN t
+LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+""",
+    doc="The inverse unpivot/melt (wide->long): the daily matrix back to "
+    "dense (day, type, n) rows including zero cells — Spark's Expand "
+    "node, map-side over the aggregated wide frame "
+    "(operators/analytics.py:daily_event_unpivot)",
+    tags=("agg", "unpivot"),
+)
+def q_daily_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.daily_event_unpivot(load_table(spark, sf_dir, "events"))
