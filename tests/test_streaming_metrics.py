@@ -174,3 +174,44 @@ def test_dedup_stream_cross_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.event_id for r in spark.read.parquet(str(tmp_path / "sink")).collect())
     assert got == list(range(8)), f"expected each key once, got {got}"
+
+
+def test_sliding_metrics_stream_matches_batch(spark, sf_dir, event_stream_dir, tmp_path):
+    """ST6 third shape: sliding-window counts emitted by the watermarked
+    stream agree with the batch twin on every closed window (append
+    mode emits once per window; each event feeds 4 overlapping
+    windows through the Expand assignment)."""
+    from tv_event_streaming_spark.streaming.metrics import sliding_metrics
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        sliding_metrics(_read_stream(spark, event_stream_dir))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.window_start, r.window_end, r.event_type, r.invocations, r.successes)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert len(got) > 0, "no sliding windows closed before the stream drained"
+    batch = {
+        (r.window_start, r.window_end, r.event_type, r.invocations, r.successes)
+        for r in sliding_metrics(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert got <= batch, sorted(got - batch)[:3]
+    # overlap sanity: a window's start advances by the slide, not the width
+    starts = sorted({ws for ws, *_ in got})
+    if len(starts) > 1:
+        min_gap = min(
+            (b - a).total_seconds() for a, b in zip(starts, starts[1:])
+        )
+        assert min_gap == 900, min_gap

@@ -1028,3 +1028,35 @@ LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
 )
 def q_daily_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.daily_event_unpivot(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "sliding_metrics_batch",
+    """
+WITH ex AS (
+  SELECT make_timestamp((epoch_us(ts) // 900000000 - i) * 900000000) AS window_start,
+         event_type
+  FROM events, (SELECT unnest(range(4)) AS i)
+)
+SELECT window_start,
+       window_start + INTERVAL 60 MINUTE AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS invocations,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       GREATEST(0, CAST(count(*) AS BIGINT)
+                   - CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)) AS successes
+FROM ex GROUP BY window_start, event_type
+""",
+    doc="ST6 third window shape, batch twin — the EXACT sliding-window "
+    "plan from streaming.metrics.sliding_metrics (60min window, 15min "
+    "slide; epoch-aligned starts) run in batch mode, so the driver "
+    "hash-checks the streaming operator's window-assignment arithmetic. "
+    "Oracle enumerates each event's 4 overlapping windows by integer "
+    "epoch-microsecond math — exactly Spark's Expand-node assignment "
+    "(streaming/metrics.py:sliding_metrics)",
+    tags=("window", "time-window", "streaming-twin"),
+)
+def q_sliding_metrics_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.metrics import sliding_metrics  # noqa: PLC0415
+
+    return sliding_metrics(load_table(spark, sf_dir, "events"))

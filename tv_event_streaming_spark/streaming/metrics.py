@@ -57,6 +57,48 @@ def windowed_metrics(
     )
 
 
+def sliding_metrics(
+    events: DataFrame,
+    window_duration: str = "60 minutes",
+    slide_duration: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST6's third window shape — SLIDING event-time windows (each event
+    lands in window/slide overlapping windows; tumbling is the
+    slide==window special case): per (window, event_type) invocation/
+    error/success counts, the continuously-updating trailing dashboard
+    the reference's trailing-1h CloudWatch query approximates. Works
+    unchanged on batch (no-op watermark) or stream (append emission as
+    the watermark passes each window end).
+
+    Scale: Spark expands each row to window/slide assignments BEFORE
+    the shuffle (an Expand node, map-side), so the state/shuffle volume
+    is overlap-factor × events — the price of overlap, paid wide, not
+    in the state store."""
+    n = F.count("*")
+    errs = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration, slide_duration).alias("win"),
+            "event_type",
+        )
+        .agg(
+            n.alias("invocations"),
+            errs.alias("errors"),
+            F.greatest(F.lit(0).cast("long"), (n - errs).cast("long")).alias("successes"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "invocations",
+            "errors",
+            "successes",
+        )
+    )
+
+
 def session_metrics(
     events: DataFrame,
     gap: str = "30 minutes",
