@@ -22,7 +22,12 @@ from tv_event_streaming_spark.plans import CATALOG  # noqa: E402
 from tv_event_streaming_spark.session import get_spark  # noqa: E402
 
 # Iterative entries execute jobs at build() time; everything else is lazy.
-SLOW = {"neardup_clusters", "curation_pipeline_neardup", "leakage_safe_splits"}
+SLOW = {
+    "neardup_clusters",
+    "curation_pipeline_neardup",
+    "leakage_safe_splits",
+    "knn_pagerank",
+}
 
 
 def main() -> None:

@@ -287,6 +287,35 @@ def _module_assigns(mod: str, modfiles: dict[str, str]) -> dict[str, str]:
     return out
 
 
+_ASSIGNED_CACHE: dict[str, frozenset[str]] = {}
+
+
+def _assigned_toplevel(mod: str, modfiles: dict[str, str]) -> frozenset[str]:
+    """Names bound by top-level ASSIGNMENT statements (any form) in a
+    module's source — as opposed to names merely imported into it."""
+    cached = _ASSIGNED_CACHE.get(mod)
+    if cached is not None:
+        return cached
+    names: set[str] = set()
+    try:
+        with open(modfiles[mod], encoding="utf-8") as f:
+            tree = ast.parse(f.read())
+        for node in tree.body:
+            targets = []
+            if isinstance(node, ast.Assign):
+                targets = node.targets
+            elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+                targets = [node.target]
+            for t in targets:
+                if isinstance(t, ast.Name):
+                    names.add(t.id)
+    except (OSError, KeyError, SyntaxError):
+        pass
+    out = frozenset(names)
+    _ASSIGNED_CACHE[mod] = out
+    return out
+
+
 def _defining_module(v, modfiles: dict[str, str]) -> tuple[str, str] | tuple[None, None]:
     """(package module, bound name) whose namespace holds `v` (identity
     scan) — used to pin non-constant, non-callable globals (registry
@@ -296,9 +325,17 @@ def _defining_module(v, modfiles: dict[str, str]) -> tuple[str, str] | tuple[Non
     sys.modules would make the fingerprint depend on the ambient import
     state of the calling process — the same catalog would fingerprint
     differently under pytest-the-full-suite vs a bare driver,
-    producing phantom staleness."""
+    producing phantom staleness.
+
+    A module that ASSIGNS the name at top level outranks one that
+    merely imports it: pinning a schema object to the importing module
+    (e.g. plans.catalog, which imports half the package) would drag
+    that module's whole import closure into the fingerprint of every
+    entry touching the object — everything-stales-everything through
+    the back door."""
     import importlib  # noqa: PLC0415
 
+    holders: list[tuple[str, str]] = []
     for m in sorted(modfiles):
         try:
             mod = importlib.import_module(m)
@@ -306,8 +343,12 @@ def _defining_module(v, modfiles: dict[str, str]) -> tuple[str, str] | tuple[Non
             continue
         for bname in sorted(vars(mod)):
             if vars(mod)[bname] is v:
-                return m, bname
-    return None, None
+                holders.append((m, bname))
+                break
+    for m, bname in holders:
+        if bname in _assigned_toplevel(m, modfiles):
+            return m, bname
+    return holders[0] if holders else (None, None)
 
 
 def _entry_closure(

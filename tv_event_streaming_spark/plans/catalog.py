@@ -961,9 +961,12 @@ FROM z GROUP BY zbucket
     tags=("layout", "agg"),
 )
 def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import layout as L  # noqa: PLC0415
+    # import the FUNCTION, not the module: a module alias degrades the
+    # evidence fingerprint to layout.py's whole file (evidence.py
+    # fallback), coupling this entry to every future layout edit
+    from ..operators.layout import zorder_stats  # noqa: PLC0415
 
-    return L.zorder_stats(load_table(spark, sf_dir, "events"))
+    return zorder_stats(load_table(spark, sf_dir, "events"))
 
 
 @register(
