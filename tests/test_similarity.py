@@ -355,3 +355,57 @@ def test_pq_adc_agrees_with_exact_reconstruction(spark, sf_dir):
         key=lambda r: (r.query_id, r.rank),
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pq_train_shape_and_determinism(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb1 = S.pq_train(emb, n_sub=8, k_codes=16, iters=2)
+    cb2 = S.pq_train(emb, n_sub=8, k_codes=16, iters=2)
+    assert len(cb1) == 8 and len(cb1[0]) == 16 and len(cb1[0][0]) == 8
+    assert cb1 == cb2  # all-integer Lloyd => bit-identical runs
+
+
+def _recall_vs_exact(spark, emb, adc_df, n_queries=25, k=5):
+    exact = S.cosine_topk_bruteforce(
+        emb, F.col("vec_id") < n_queries, k=k
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(
+        adc_df.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).count()
+    return hits / (n_queries * k)
+
+
+def test_pq_training_improves_recall(spark, sf_dir):
+    """The point of pq_train: a Lloyd-refined codebook beats raw seed
+    codewords on reconstruction, which shows up as ADC recall
+    (measured 0.15 -> 0.26 on this corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = S.pq_train(emb, iters=3)
+    r_seed = _recall_vs_exact(
+        spark, emb, S.cosine_topk_pq_adc(emb, F.col("vec_id") < 25, k=5)
+    )
+    r_trained = _recall_vs_exact(
+        spark,
+        emb,
+        S.cosine_topk_pq_adc(emb, F.col("vec_id") < 25, k=5, codebook=trained),
+    )
+    assert r_trained > r_seed, (r_trained, r_seed)
+
+
+def test_pq_rerank_recovers_recall(spark, sf_dir):
+    """The faiss search+refine composition: an ADC shortlist (10% of
+    the corpus) exactly re-ranked recovers most of the exact top-k
+    (measured 0.66 seed / 0.72 trained here) while the scan stays on
+    the compressed codes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rr = S.cosine_topk_pq_rerank(emb, F.col("vec_id") < 25, k=5, shortlist=50)
+    assert _recall_vs_exact(spark, emb, rr) >= 0.6
+    # and the rerank output is ranked by true cosine: rank 1 beats rank 5
+    rows = {
+        (r.query_id, r.rank): r.cos_sim for r in rr.collect()
+    }
+    for q in range(25):
+        if (q, 1) in rows and (q, 5) in rows:
+            assert rows[(q, 1)] >= rows[(q, 5)]

@@ -1251,22 +1251,19 @@ def ann_recall_at_k(
 # ---------------------------------------------------------------------------
 
 
-def _pq_codebook_row(
+def pq_seed_codebook(
     embeddings: DataFrame,
     n_sub: int,
     k_codes: int,
-    id_col: str,
-    vec_col: str,
-):
-    """One broadcastable row holding the full PQ codebook: for each
-    subspace ``m`` (of ``n_sub``), ``k_codes`` codewords seeded from the
-    sub-vectors of the vectors with ``id < k_codes`` (the same
-    deterministic seeding rule the IVF/k-means tier uses, so the
-    codebook is reproducible in any engine with no RNG). Components are
-    int64-quantized driver-side. Returns (codebook_df, sub_dim)."""
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Deterministic PQ seed codebook ``[m][code][dim]`` in quantized
+    int space: subspace sub-vectors of the vectors with ``id <
+    k_codes`` (the same seeding rule the IVF/k-means tier uses, so the
+    codebook is reproducible in any engine with no RNG)."""
     import math  # noqa: PLC0415
 
-    spark = embeddings.sparkSession
     seed_rows = sorted(
         embeddings.filter(F.col(id_col) < k_codes).select(id_col, vec_col).collect(),
         key=lambda r: r[0],
@@ -1280,18 +1277,124 @@ def _pq_codebook_row(
     if dims % n_sub:
         raise ValueError(f"dims={dims} not divisible by n_sub={n_sub}")
     sub = dims // n_sub
-    entries = []
-    for m in range(n_sub):
-        for r in seed_rows:
-            qsub = [
+    return [
+        [
+            [
                 int(math.floor(float(x) * QUANT))
                 for x in r[1][m * sub : (m + 1) * sub]
             ]
-            entries.append((m, int(r[0]), qsub))
+            for r in seed_rows
+        ]
+        for m in range(n_sub)
+    ]
+
+
+def _pq_codebook_row(
+    embeddings: DataFrame,
+    n_sub: int,
+    k_codes: int,
+    id_col: str,
+    vec_col: str,
+    codebook: list[list[list[int]]] | None = None,
+):
+    """One broadcastable row holding the full PQ codebook (seeded by
+    default, or a trained ``pq_train`` codebook — both quantized-int
+    ``[m][code][dim]``). Returns (codebook_df, sub_dim)."""
+    spark = embeddings.sparkSession
+    if codebook is None:
+        codebook = pq_seed_codebook(embeddings, n_sub, k_codes, id_col, vec_col)
+    sub = len(codebook[0][0])
+    entries = [
+        (m, j, qsub)
+        for m, words in enumerate(codebook)
+        for j, qsub in enumerate(words)
+    ]
     cb = spark.createDataFrame(
         [(entries,)], "_cb array<struct<m:int,code:int,qc:array<bigint>>>"
     )
     return cb, sub
+
+
+def pq_train(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Train the PQ codebook: per-subspace Lloyd iterations from the
+    deterministic seeds, ALL-INTEGER (assignment by exact int64 squared
+    L2 — the same argmin :func:`pq_encode` runs — and the mean update
+    as ``floor(sum_q / count)`` per (subspace, code, dim), entirely in
+    quantized space). Deterministic under any partitioning, like
+    :func:`kmeans_update_stats`; empty codes keep their previous
+    codeword.
+
+    Scale shape per iteration: assignment + per-subspace argmin is the
+    single-pass encode expression chain (one broadcast codebook row, no
+    corpus shuffle); the update is one explode to (m, code, dim, qval)
+    and a groupBy whose map-side partials collapse each partition to
+    ≤ n_sub·k·sub_dim rows — only those aggregates reach the driver.
+
+    Returns the trained ``[m][code][dim]`` quantized codebook for
+    :func:`pq_encode` / :func:`cosine_topk_pq_adc`'s ``codebook``
+    parameter. Train on a SAMPLE at 100 TB — codebook quality converges
+    long before the corpus is exhausted (the standard faiss practice)."""
+    codebook = pq_seed_codebook(embeddings, n_sub, k_codes, id_col, vec_col)
+    staged = embeddings.select(F.transform(F.col(vec_col), _q).alias("_qv"))
+    for _ in range(iters):
+        cb, sub = _pq_codebook_row(
+            embeddings, n_sub, k_codes, id_col, vec_col, codebook
+        )
+        scored = F.transform(
+            F.col("_cb"),
+            lambda e: F.named_struct(
+                F.lit("m"),
+                e["m"],
+                F.lit("qdist"),
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("_qv"), e["m"] * sub + 1, sub),
+                        e["qc"],
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ),
+                F.lit("code"),
+                e["code"],
+            ),
+        )
+        firsts = F.filter(F.array_sort(scored), lambda e, i: i % k_codes == 0)
+        assigned = F.transform(
+            firsts,
+            lambda e: F.named_struct(
+                F.lit("m"),
+                e["m"],
+                F.lit("code"),
+                e["code"],
+                F.lit("qsub"),
+                F.slice(F.col("_qv"), e["m"] * sub + 1, sub),
+            ),
+        )
+        stats = (
+            staged.crossJoin(F.broadcast(cb))
+            .select(F.explode(assigned).alias("_a"))
+            .select(
+                F.col("_a")["m"].alias("m"),
+                F.col("_a")["code"].alias("code"),
+                F.posexplode(F.col("_a")["qsub"]).alias("dim", "qval"),
+            )
+            .groupBy("m", "code", "dim")
+            .agg(F.sum("qval").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_cb = [[list(w) for w in words] for words in codebook]
+        for r in stats:
+            new_cb[r.m][r.code][r.dim] = int(r.s) // int(r.n)
+        codebook = new_cb
+    return codebook
 
 
 def pq_encode(
@@ -1300,6 +1403,7 @@ def pq_encode(
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """Product-quantization encoding: split each vector into ``n_sub``
     subspaces and replace every sub-vector by the id of its nearest
@@ -1322,7 +1426,7 @@ def pq_encode(
     picked by ONE indexed ``filter`` pass). No corpus shuffle, no
     per-row Python, no repeated lambda references to staged arrays
     (SCALE.md §6c inlining family)."""
-    cb, sub = _pq_codebook_row(embeddings, n_sub, k_codes, id_col, vec_col)
+    cb, sub = _pq_codebook_row(embeddings, n_sub, k_codes, id_col, vec_col, codebook)
     staged = embeddings.select(
         F.col(id_col), F.transform(F.col(vec_col), _q).alias("_qv")
     )
@@ -1368,6 +1472,7 @@ def pq_index(
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """The PQ code table in per-vector form — ``(id, codes array<int>)``
     with ``codes[m]`` the subspace-m codeword id — PERSISTED, because
@@ -1377,7 +1482,7 @@ def pq_index(
     exchange barriers don't stop the collapse; an InMemoryRelation
     attribute does). Persisting is also semantically the point: this IS
     the index build, done once, scanned by every query after."""
-    enc = pq_encode(embeddings, n_sub, k_codes, id_col, vec_col)
+    enc = pq_encode(embeddings, n_sub, k_codes, id_col, vec_col, codebook)
     return (
         enc.groupBy(id_col)
         .agg(
@@ -1400,6 +1505,7 @@ def cosine_topk_pq_adc(
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k scan over PQ codes: each query
     keeps full precision and precomputes a ``n_sub × k_codes`` lookup
@@ -1423,24 +1529,14 @@ def cosine_topk_pq_adc(
     import math  # noqa: PLC0415
 
     spark = embeddings.sparkSession
-    codes = pq_index(embeddings, n_sub, k_codes, id_col, vec_col)
+    codes = pq_index(embeddings, n_sub, k_codes, id_col, vec_col, codebook)
 
-    seed_rows = sorted(
-        embeddings.filter(F.col(id_col) < k_codes).select(id_col, vec_col).collect(),
-        key=lambda r: r[0],
+    cbq = (
+        codebook
+        if codebook is not None
+        else pq_seed_codebook(embeddings, n_sub, k_codes, id_col, vec_col)
     )
-    dims = len(seed_rows[0][1])
-    sub = dims // n_sub
-    cbq = [
-        [
-            [
-                int(math.floor(float(x) * QUANT))
-                for x in r[1][m * sub : (m + 1) * sub]
-            ]
-            for r in seed_rows
-        ]
-        for m in range(n_sub)
-    ]
+    sub = len(cbq[0][0])
     q_rows = embeddings.filter(query_filter).select(id_col, vec_col).collect()
     luts = []
     for qr in q_rows:
@@ -1492,4 +1588,61 @@ def cosine_topk_pq_adc(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "adist")
+    )
+
+
+def cosine_topk_pq_rerank(
+    embeddings: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    shortlist: int = 50,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """The full IVF-PQ query pattern: ADC over the compressed codes
+    produces a ``shortlist`` of candidates per query (reading ~n_sub
+    bytes/vector), then ONLY those candidates' full vectors are fetched
+    and exactly re-ranked by quantized cosine — the faiss
+    ``search + refine`` composition. Recall is set by the shortlist
+    size, compute by the code scan; the exact tier touches
+    |queries|·shortlist vectors regardless of corpus size.
+
+    Scale shape: the candidate frame (≤ |Q|·shortlist rows) is the
+    BROADCAST side of the fetch join — the corpus-sized embeddings
+    table never shuffles; scoring and the final top-k window run on
+    candidate-sized data."""
+    cand = cosine_topk_pq_adc(
+        embeddings, query_filter, shortlist, n_sub, k_codes, id_col, vec_col,
+        codebook,
+    ).select("query_id", "neighbor_id")
+    qvecs = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        quantized_norm_sq(F.col(vec_col)).alias("qnorm"),
+    )
+    cand_q = F.broadcast(cand.join(qvecs, "query_id"))
+    fetched = cand_q.join(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            quantized_norm_sq(F.col(vec_col)).alias("cnorm"),
+        ),
+        "neighbor_id",
+    )
+    scored = fetched.select(
+        "query_id",
+        "neighbor_id",
+        (
+            quantized_dot(F.col("qvec"), F.col("cvec")).cast("double")
+            / F.sqrt(F.col("qnorm").cast("double") * F.col("cnorm").cast("double"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
     )
