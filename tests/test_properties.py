@@ -536,3 +536,116 @@ def test_knn_graph_single_cell_matches_python_bruteforce(spark, vecs):
         for rank, (negcos, j) in enumerate(scored[:3], start=1):
             assert got[(i, rank)] == (j, -negcos), (i, rank, got[(i, rank)], (j, -negcos))
     assert len(got) == sum(min(3, len(vecs) - 1) for _ in vecs)
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    ).map(lambda es: [(a, b) for a, b in es if a != b]),
+    iters=st.integers(1, 3),
+)
+def test_pagerank_property_vs_python(spark, edges, iters):
+    """Fixed-point PageRank equals the pure-Python reference on random
+    directed multigraphs (parallel edges count as repeated
+    contributions, matching both implementations)."""
+    from tv_event_streaming_spark.operators.graph import PR_SCALE, pagerank_fixedpoint
+
+    if not edges:
+        return
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    base = PR_SCALE // n
+    teleport = (15 * base) // 100
+    outdeg: dict[int, int] = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    rank = {v: base for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += rank[a] // outdeg[a]
+        rank = {v: teleport + (85 * s[v]) // 100 for v in nodes}
+
+    df = spark.createDataFrame(edges, "src_id long, dst_id long")
+    got = {
+        r.node: r.rank_fp
+        for r in pagerank_fixedpoint(df, iters=iters).collect()
+    }
+    assert got == rank
+
+
+@settings(**SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2.0, 2.0, allow_nan=False, width=32),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=4,
+        max_size=12,
+    ),
+)
+def test_pq_encode_property_vs_python(spark, vecs):
+    """pq_encode's per-subspace argmin equals the pure-Python quantized
+    reference (2 subspaces x 4 dims, codebook seeded from ids 0-2) on
+    random float vectors — including tie-to-lowest-code behavior."""
+    import math
+
+    from tv_event_streaming_spark.operators.similarity import QUANT, pq_encode
+
+    k_codes, n_sub, sub = 3, 2, 4
+    if len(vecs) < k_codes:
+        return
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # python reference re-reads the FLOAT32-narrowed values back
+    f32 = {r[0]: [float(x) for x in r[1]] for r in df.collect()}
+
+    def q(x):
+        return int(math.floor(float(x) * QUANT))
+
+    cb = {
+        (m, j): [q(x) for x in f32[j][m * sub : (m + 1) * sub]]
+        for m in range(n_sub)
+        for j in range(k_codes)
+    }
+    expected = {}
+    for i, v in f32.items():
+        for m in range(n_sub):
+            qs = [q(x) for x in v[m * sub : (m + 1) * sub]]
+            best = min(
+                (
+                    (sum((a - b) * (a - b) for a, b in zip(qs, cb[(m, j)])), j)
+                    for j in range(k_codes)
+                ),
+            )
+            expected[(i, m)] = (best[1], best[0])
+    got = {
+        (r.vec_id, r.m): (r.code, r.qdist)
+        for r in pq_encode(df, n_sub=n_sub, k_codes=k_codes).collect()
+    }
+    assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    keys=st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=60, unique=True),
+    probe_extra=st.lists(st.integers(-(2**40), 2**40), max_size=30),
+)
+def test_bloom_never_false_negative_property(spark, keys, probe_extra):
+    from tv_event_streaming_spark.operators.layout import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    bits = bloom_build(kdf, "k", m_bits=1 << 12)
+    probe = spark.createDataFrame(
+        [(k,) for k in set(keys) | set(probe_extra)], "k long"
+    )
+    kept = {r.k for r in bloom_might_contain(probe, "k", bits).collect()}
+    assert set(keys) <= kept  # one-sided error: members always pass
