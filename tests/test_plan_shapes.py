@@ -1,0 +1,110 @@
+"""Physical-plan regression guards.
+
+Every measured pathology in SCALE.md §6c earned a fix whose PLAN SHAPE
+is the actual deliverable (a persist barrier, a pushed filter, a
+map-side-only chain, a TakeOrderedAndProject). These tests pin those
+shapes mechanically, so a refactor that silently reverts one (a dropped
+persist re-inlining a pipeline, a filter no longer reaching the scan)
+fails here instead of resurfacing as a 10-20x bench regression rounds
+later. Assertions run on the INITIAL physical plan (deterministic;
+AQE's runtime re-planning never rewrites these specific shapes).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tv_event_streaming_spark.plans import CATALOG
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    return (
+        CATALOG[name]
+        .build(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def n_exchanges(plan: str) -> int:
+    return len(re.findall(r"\bExchange\b", plan))
+
+
+def test_pq_encode_is_single_pass_map_side(spark, sf_dir):
+    plan = plan_of(spark, "pq_encode", sf_dir)
+    assert n_exchanges(plan) == 0  # corpus never shuffles
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row codebook
+    # column pruning reaches the scan: only the two needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and set(m.group(1).split(",")) <= {
+        "vec_id:bigint",
+        "embedding:array<float",
+    }, m and m.group(1)
+
+
+def test_pq_index_is_persisted_for_the_adc_scan(spark, sf_dir):
+    # SCALE §6c: nested-lambda references to a staged array need an
+    # InMemoryRelation attribute — dropping pq_index's persist
+    # re-inlines the whole encode pipeline per LUT reference
+    plan = plan_of(spark, "ann_pq_adc", sf_dir)
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
+
+
+def test_bloom_probe_prunes_before_the_join(spark, sf_dir):
+    plan = plan_of(spark, "bloom_semi_reduction", sf_dir)
+    # the bit_get membership fold sits in a Filter on the fact scan
+    # side, below the real join
+    assert "bit_get" in plan
+    assert plan.index("bit_get") > plan.index("BroadcastHashJoin")
+    # both scans keep pushdown
+    assert plan.count("PushedFilters: [IsNotNull") >= 1
+
+
+def test_pricing_summary_filter_reaches_parquet(spark, sf_dir):
+    plan = plan_of(spark, "pricing_summary", sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+
+
+def test_tail_events_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, "tail_events", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full-table sort operator
+
+
+def test_rolling_window_uses_range_frame(spark, sf_dir):
+    plan = plan_of(spark, "rolling_event_value", sf_dir)
+    assert "RangeFrame" in plan
+    assert n_exchanges(plan) == 1  # the single user_id shuffle
+
+
+def test_doc_embeddings_fh_stays_map_side(spark, sf_dir):
+    # the 19x lesson: one aggregate fold, not 64 per-dim filter lambdas
+    plan = plan_of(spark, "doc_embeddings_fh", sf_dir)
+    assert n_exchanges(plan) == 0
+
+
+def test_revenue_cube_expands_before_the_exchange(spark, sf_dir):
+    plan = plan_of(spark, "revenue_cube", sf_dir)
+    assert "Expand" in plan
+    assert n_exchanges(plan) <= 2  # grouping-set partials collapse map-side
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_join_has_no_cartesian_or_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, "titles_for_users", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["quality_filter", "winnow_fingerprints", "char_stats", "zorder_stats"],
+)
+def test_map_side_entries_shuffle_at_most_once(spark, sf_dir, name):
+    plan = plan_of(spark, name, sf_dir)
+    assert n_exchanges(plan) <= 1, f"{name}: {n_exchanges(plan)} exchanges"
+    spark.catalog.clearCache()
