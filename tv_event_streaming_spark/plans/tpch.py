@@ -398,3 +398,50 @@ def q_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_items"),
         _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
     )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                / CAST(count(*) AS BIGINT))
+  FROM lineitem i WHERE i.l_partkey = l.l_partkey
+)
+""",
+    doc="TPC-H Q17 shape — CORRELATED scalar subquery (per-part average "
+    "quantity in the predicate), the one optimizer family no other "
+    "entry exercises: Catalyst decorrelates it into a per-part "
+    "aggregate joined back to the fact table (one agg shuffle + one "
+    "join keyed on l_partkey), never a per-row subquery execution. "
+    "Threshold average is exact decimal-accumulated / bigint-count in "
+    "one double division, so the comparison is bit-identical "
+    "cross-engine; 0.2*avg as double*double stays deterministic.",
+    tags=("join", "subquery", "agg", "bench"),
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                / F.count("*").cast("long")
+            )
+        ).alias("_thr")
+    )
+    # the decorrelated form Catalyst itself would produce — written
+    # explicitly so the join side is visible to AQE/broadcast planning
+    small = li.join(per_part, F.col("l_partkey") == F.col("_pk")).filter(
+        F.col("l_quantity") < F.col("_thr")
+    )
+    return small.agg(
+        F.count("*").cast("long").alias("n_items"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+    )
