@@ -197,3 +197,49 @@ def test_quality_gate_runs_on_streams(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = {(r.doc_id, r.keep) for r in spark.read.parquet(out_dir).collect()}
     assert got == batch
+
+
+def test_pq_encode_runs_on_streams(spark, sf_dir, tmp_path):
+    """Index-apply-on-stream: with a pretrained codebook passed in, the
+    PQ encode chain is a stateless map-side projection (one broadcast
+    codebook row, no shuffle), so the SAME function that encodes the
+    batch corpus encodes a readStream frame — live vectors join the
+    compressed index with no second code path. Codes must be
+    byte-identical to the batch run."""
+    import shutil
+
+    from tv_event_streaming_spark.domain import load_table
+    from tv_event_streaming_spark.operators.similarity import (
+        pq_encode,
+        pq_seed_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_seed_codebook(emb, n_sub=8, k_codes=16)
+    batch = {
+        (r.vec_id, r.m): (r.code, r.qdist)
+        for r in pq_encode(emb, codebook=cb).collect()
+    }
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "embeddings.parquet"), in_dir / "part-0.parquet"
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(in_dir)).schema
+    ).parquet(str(in_dir))
+    out_dir = str(tmp_path / "codes")
+    q = (
+        pq_encode(stream, codebook=cb)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.vec_id, r.m): (r.code, r.qdist)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == batch
