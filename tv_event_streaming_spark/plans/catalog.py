@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..domain import derive_domain, load_table, with_domain
@@ -1063,3 +1063,62 @@ def q_sliding_metrics_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.metrics import sliding_metrics  # noqa: PLC0415
 
     return sliding_metrics(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "user_value_deciles",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY user_id
+),
+tiled AS (
+  SELECT user_id, total_value,
+         ntile(10) OVER (ORDER BY total_value DESC, user_id) AS decile
+  FROM per_user
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(total_value AS DECIMAL(18,6))) AS DOUBLE) AS decile_value,
+       min(total_value) AS min_value,
+       max(total_value) AS max_value
+FROM tiled GROUP BY decile
+""",
+    doc="Whale-curve segmentation: users bucketed into spend deciles via "
+    "ntile(10) (the remaining window function family — equal-count "
+    "buckets with the remainder to the first buckets, deterministic "
+    "under the unique tie-break), then per-decile value mass. The "
+    "ntile window is global by construction (a decile IS a global "
+    "rank statement) but runs on the user-level AGGREGATE (one row "
+    "per user, after a map-side-collapsing groupBy) — never on raw "
+    "events; at 100 TB the per-user frame is the small output of the "
+    "one real shuffle",
+    tags=("window", "agg", "analytics"),
+)
+def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value")
+        )
+    )
+    w = Window.orderBy(F.desc("total_value"), "user_id")
+    tiled = per_user.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("total_value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("decile_value"),
+        F.min("total_value").alias("min_value"),
+        F.max("total_value").alias("max_value"),
+    ).select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_users",
+        "decile_value",
+        "min_value",
+        "max_value",
+    )
