@@ -215,3 +215,73 @@ def test_sliding_metrics_stream_matches_batch(spark, sf_dir, event_stream_dir, t
             (b - a).total_seconds() for a, b in zip(starts, starts[1:])
         )
         assert min_gap == 900, min_gap
+
+
+def test_error_bursts_cross_batch_state(spark, sf_dir, event_stream_dir, tmp_path):
+    """CEP burst detection: every burst the stream CLOSES (a later
+    error proved the run ended) must appear verbatim in the batch
+    gaps-and-islands twin; a burst spanning micro-batches merges in
+    the state store instead of double-reporting."""
+    from tv_event_streaming_spark.streaming.metrics import (
+        error_bursts,
+        error_bursts_batch,
+    )
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        error_bursts(_read_stream(spark, event_stream_dir))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.burst_start, r.burst_end, r.n_errors)
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = {
+        (r.user_id, r.burst_start, r.burst_end, r.n_errors)
+        for r in error_bursts_batch(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert len(batch) > 0, "fixture has no bursts at these parameters"
+    assert len(got) > 0, "stream closed no bursts before draining"
+    assert got <= batch, sorted(got - batch)[:3]
+
+
+def test_error_bursts_batch_twin_semantics(spark):
+    """Hand-built case: gaps exactly at the threshold stay in-burst
+    (the sessionize > convention); short runs are dropped."""
+    import datetime
+
+    from tv_event_streaming_spark.streaming.metrics import error_bursts_batch
+
+    t0 = datetime.datetime(2024, 1, 1)
+    mk = lambda mins: t0 + datetime.timedelta(minutes=mins)
+    rows = [
+        # user 1: 3 errors, gaps 5 and 10 min -> one burst of 3
+        (1, 1, mk(0), "error", None, None),
+        (2, 1, mk(5), "error", None, None),
+        (3, 1, mk(15), "error", None, None),
+        # a view in between must not split the burst
+        (4, 1, mk(7), "view", None, None),
+        # user 2: 2 errors far apart -> no burst at min_count=2? gap 100min > 10 -> two singles
+        (5, 2, mk(0), "error", None, None),
+        (6, 2, mk(100), "error", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r.user_id, r.burst_start, r.burst_end, r.n_errors)
+        for r in error_bursts_batch(df, gap_minutes=10, min_count=2).collect()
+    }
+    assert got == {(1, mk(0), mk(15), 3)}

@@ -216,3 +216,106 @@ def start_running_totals(
         .trigger(availableNow=True)
         .start()
     )
+
+
+_BURST_OUT_SCHEMA = (
+    "user_id bigint, burst_start timestamp, burst_end timestamp, n_errors bigint"
+)
+_BURST_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+
+
+def error_bursts(
+    events: DataFrame, gap_minutes: int = 4320, min_count: int = 3
+) -> DataFrame:
+    """CEP-style stateful pattern detection: a BURST is a maximal run of
+    a user's ``error`` events with consecutive gaps ≤ ``gap_minutes``;
+    bursts with ≥ ``min_count`` errors are emitted when a later error
+    (or a later batch's errors) proves the run ended — the
+    alerting-shaped operator (fraud velocity checks, crash storms)
+    that needs CUSTOM state, not a built-in window: the emission
+    condition depends on the run's own content.
+
+    ``applyInPandasWithState`` keeps (burst start, last error, count)
+    per user across micro-batches, so a burst spanning batches merges
+    instead of double-reporting. The batch twin is
+    ``analytics.sessionize`` over the error subset filtered to
+    ``n_events >= min_count`` (same gap convention: a gap strictly
+    greater than the threshold breaks the run) — tests assert the
+    stream's closed bursts agree with it. Assumes batch-monotonic
+    arrival per user (pair with an upstream watermark for late data);
+    the final open burst stays in state rather than emitting a
+    possibly-incomplete alert.
+
+    Scale: state is 3 longs per user with an open burst; each batch
+    shuffles only that batch's error rows on user_id."""
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts"
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def detect(key, pdfs, state):
+        import datetime  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        start_us, last_us, n = (
+            state.get if state.exists else (None, None, 0)
+        )
+        out = []
+
+        def close() -> None:
+            if n >= min_count:
+                out.append((start_us, last_us, n))
+
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
+        for t_us in sorted(ts_list):
+            if last_us is not None and t_us - last_us <= gap_us:
+                last_us, n = t_us, n + 1
+            else:
+                close()
+                start_us, last_us, n = t_us, t_us, 1
+        state.update((start_us, last_us, n))
+        if not out:
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "burst_start": [
+                    datetime.datetime.utcfromtimestamp(s / 1e6) for s, _, _ in out
+                ],
+                "burst_end": [
+                    datetime.datetime.utcfromtimestamp(e / 1e6) for _, e, _ in out
+                ],
+                "n_errors": [c for _, _, c in out],
+            }
+        )
+
+    return errors.groupBy("user_id").applyInPandasWithState(
+        detect,
+        outputStructType=_BURST_OUT_SCHEMA,
+        stateStructType=_BURST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def error_bursts_batch(
+    events: DataFrame, gap_minutes: int = 4320, min_count: int = 3
+) -> DataFrame:
+    """Batch twin of :func:`error_bursts`: gaps-and-islands over the
+    error subset (the exact ``analytics.sessionize`` arithmetic),
+    filtered to runs of ≥ ``min_count``."""
+    from ..operators.analytics import sessionize  # noqa: PLC0415
+
+    errors = events.filter(F.col("event_type") == "error")
+    return (
+        sessionize(errors, gap_minutes=gap_minutes)
+        .filter(F.col("n_events") >= min_count)
+        .select(
+            "user_id",
+            F.col("session_start").alias("burst_start"),
+            F.col("session_end").alias("burst_end"),
+            F.col("n_events").alias("n_errors"),
+        )
+    )
