@@ -1122,3 +1122,42 @@ def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@register(
+    "error_bursts_batch",
+    """
+WITH err AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 259200000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS burst_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM err
+  )
+)
+SELECT user_id, min(ts) AS burst_start, max(ts) AS burst_end,
+       CAST(count(*) AS BIGINT) AS n_errors
+FROM numbered GROUP BY user_id, burst_id
+HAVING count(*) >= 3
+""",
+    doc="CEP batch twin, driver-hashed: error bursts = maximal runs of "
+    "a user's error events with gaps <= 72h, kept at >= 3 errors — the "
+    "exact arithmetic the streaming error_bursts operator (streaming/"
+    "metrics.py, applyInPandasWithState) emits across micro-batches, "
+    "as gaps-and-islands over the error subset (one user_id shuffle; "
+    "the event_type filter is pushed to the scan)",
+    tags=("window", "sessionization", "streaming-twin", "cep"),
+)
+def q_error_bursts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.metrics import error_bursts_batch  # noqa: PLC0415
+
+    return error_bursts_batch(
+        load_table(spark, sf_dir, "events"), gap_minutes=4320, min_count=3
+    )
