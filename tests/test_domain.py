@@ -23,3 +23,20 @@ def test_derivation_lockstep(spark, sf_dir, name):
         con.close()
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
     assert canonicalize(spark_pdf) == canonicalize(duck_pdf), f"{name} diverged"
+
+
+def test_pivot_value_list_matches_data(spark, sf_dir):
+    """daily_event_pivot pins an EXPLICIT pivot value list; if the
+    generated testdata ever grows a new event type, the pivot would
+    silently drop it into no column — fail loudly here instead."""
+    from tv_event_streaming_spark.domain import load_table
+    from tv_event_streaming_spark.operators.analytics import EVENT_TYPES
+
+    types = {
+        r.event_type
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    assert types == set(EVENT_TYPES), types
