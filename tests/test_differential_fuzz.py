@@ -1,0 +1,143 @@
+"""Differential fuzzing: random event tables through (Spark plan,
+DuckDB oracle) pairs.
+
+The fixed testdata corpus exercises each entry on ONE distribution;
+these tests regenerate the events table with adversarial structure —
+duplicate timestamps (tie-breaks!), null values, single-user tables,
+gaps exactly at session/burst thresholds, day-boundary straddles — and
+require the hash-level agreement the driver checks, on EVERY generated
+table. A data-dependent divergence (a tie broken differently, a null
+accumulated differently) fails here before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tv_event_streaming_spark.operators.analytics import EVENT_TYPES
+from tv_event_streaming_spark.plans import CATALOG
+
+from .oracle import canonicalize
+
+# events-only entries, cheap enough to fuzz (no iterative/persisting
+# builders); every one reads ONLY the events table
+FUZZ_ENTRIES = [
+    "hourly_metrics",
+    "latest_event_per_user",
+    "tail_events",
+    "user_sessions",
+    "user_retention",
+    "zorder_stats",
+    "rolling_event_value",
+    "daily_event_pivot",
+    "daily_event_unpivot",
+    "sliding_metrics_batch",
+    "error_bursts_batch",
+    "user_value_deciles",
+    "value_percentiles",
+    "funnel_stages",
+]
+
+_BASE = datetime.datetime(2024, 1, 1)
+
+# timestamps cluster around thresholds: same-instant duplicates, 30min
+# session gaps, 72h burst gaps, midnight boundaries
+_ts = st.one_of(
+    st.integers(0, 120).map(lambda m: _BASE + datetime.timedelta(minutes=m)),
+    st.sampled_from(
+        [
+            _BASE,
+            _BASE + datetime.timedelta(minutes=30),
+            _BASE + datetime.timedelta(minutes=30, microseconds=1),
+            _BASE + datetime.timedelta(hours=23, minutes=59, seconds=59),
+            _BASE + datetime.timedelta(days=1),
+            _BASE + datetime.timedelta(days=3),
+            _BASE + datetime.timedelta(days=3, microseconds=1),
+        ]
+    ),
+)
+
+_row = st.tuples(
+    _ts,
+    st.integers(0, 3),  # few users => dense per-user sequences
+    st.sampled_from(EVENT_TYPES),
+    st.one_of(st.none(), st.floats(-100, 100, allow_nan=False, width=32)),
+)
+
+
+def _write_events(rows, tmpdir) -> str:
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array(
+                [None if r[3] is None else float(r[3]) for r in rows],
+                pa.float64(),
+            ),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/events.parquet")
+    return str(tmpdir)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_row, min_size=1, max_size=60))
+def test_entries_match_oracle_on_random_events(spark, tmp_path_factory, rows):
+    import duckdb  # noqa: PLC0415
+
+    sf_dir = _write_events(rows, tmp_path_factory.mktemp("fuzz"))
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+        )
+        for name in FUZZ_ENTRIES:
+            entry = CATALOG[name]
+            spark_pdf = entry.build(spark, sf_dir).toPandas()
+            duck_pdf = con.execute(entry.oracle).fetchdf()
+            assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
+            assert len(spark_pdf) == len(duck_pdf), (
+                name,
+                len(spark_pdf),
+                len(duck_pdf),
+            )
+            a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+            assert a == b, (
+                name,
+                [(x, y) for x, y in zip(a, b) if x != y][:3],
+            )
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", FUZZ_ENTRIES)
+def test_fuzz_entries_read_only_events(name):
+    """The fuzz harness registers ONLY the events view — pin that the
+    fuzzed entries' oracles reference no other table (a new join would
+    silently break the fuzz coverage, not the entry)."""
+    sql = CATALOG[name].oracle.lower()
+    for other in (
+        "documents",
+        "embeddings",
+        "lineitem",
+        "orders",
+        "customer",
+        "supplier",
+        "part ",
+        "nation",
+        "region",
+    ):
+        assert other not in sql, (name, other)
