@@ -141,3 +141,109 @@ def test_fuzz_entries_read_only_events(name):
         "region",
     ):
         assert other not in sql, (name, other)
+
+
+# documents-only entries cheap enough to fuzz: map-side or 1-2 shuffle
+# text analytics whose oracles embed regex/tokenizer twins — exactly
+# where cross-engine dialect divergence would hide
+DOC_FUZZ_ENTRIES = [
+    "dedup_exact",
+    "text_quality",
+    "lang_id",
+    "token_counts",
+    "fingerprints",
+    "doc_splits",
+    "quality_filter",
+    "repetition_metrics",
+    "doc_chunks",
+    "char_stats",
+    "curation_report",
+    "vocab_coverage",
+    "token_fluency",
+]
+
+_words = st.lists(
+    st.sampled_from(
+        "the a of and to in is was for on it data model spark duck "
+        "aaa zzz e x 42 777 2024".split()
+    ),
+    min_size=0,
+    max_size=30,
+).map(" ".join)
+
+_text_doc = st.one_of(
+    _words,
+    # degenerate shapes: repeated lines, punctuation storms, unicode,
+    # empty and single-char docs
+    _words.map(lambda w: (w + "\n") * 3),
+    st.sampled_from(
+        [
+            "",
+            " ",
+            "\n\n\n",
+            "!!! ??? ;;; :::",
+            "x",
+            "the the the the the the",
+            "Grüße aus München — naïve façade 北京 🚀",
+            "a\tb\tc\td",
+            "line one\nline one\nline two\nline one",
+        ]
+    ),
+)
+
+_doc_row = st.tuples(
+    _text_doc,
+    st.sampled_from(["en", "de", "xx"]),
+    st.sampled_from(["web", "books", "code"]),
+)
+
+
+def _write_documents(rows, tmpdir) -> str:
+    texts = [r[0] for r in rows]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/documents.parquet")
+    return str(tmpdir)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_doc_row, min_size=1, max_size=25))
+def test_text_entries_match_oracle_on_random_documents(
+    spark, tmp_path_factory, rows
+):
+    import duckdb  # noqa: PLC0415
+
+    sf_dir = _write_documents(rows, tmp_path_factory.mktemp("docfuzz"))
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        for name in DOC_FUZZ_ENTRIES:
+            entry = CATALOG[name]
+            spark_pdf = entry.build(spark, sf_dir).toPandas()
+            duck_pdf = con.execute(entry.oracle).fetchdf()
+            assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
+            assert len(spark_pdf) == len(duck_pdf), (
+                name,
+                len(spark_pdf),
+                len(duck_pdf),
+            )
+            a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+            assert a == b, (
+                name,
+                [(x, y) for x, y in zip(a, b) if x != y][:3],
+            )
+    finally:
+        con.close()

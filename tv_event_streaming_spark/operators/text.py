@@ -84,7 +84,13 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(t).alias("n_chars"),
         ntok.alias("n_tokens"),
         (F.length("_norm").cast("double") / ntok.cast("double")).alias("avg_token_len"),
-        (punct_count(t).cast("double") / F.length(t).cast("double")).alias("punct_ratio"),
+        # try_divide: an EMPTY document has length 0 — ANSI division
+        # would kill the whole job on one degenerate row (found by the
+        # differential fuzzer); NULL matches the DuckDB oracle's
+        # divide-by-zero semantics exactly
+        F.try_divide(punct_count(t).cast("double"), F.length(t).cast("double")).alias(
+            "punct_ratio"
+        ),
         (
             F.size(F.filter("_toks", lambda tok: tok.isin(*EN_STOPWORDS))).cast("double")
             / ntok.cast("double")
@@ -291,7 +297,10 @@ def quality_filter(
     staged = _stage_repetition(staged_tokens(docs, text_col), t)
     ntok = F.size("_toks")
     mean_len = F.length("_norm").cast("double") / ntok.cast("double")
-    punct = punct_count(t).cast("double") / F.length(t).cast("double")
+    # try_divide: empty text => NULL ratio => NULL rule => keep=false
+    # via the len rule; ANSI division would crash the gate on one
+    # empty row (differential-fuzzer find; DuckDB yields NULL)
+    punct = F.try_divide(punct_count(t).cast("double"), F.length(t).cast("double"))
     stop = (
         F.size(F.filter("_toks", lambda tok: tok.isin(*EN_STOPWORDS))).cast("double")
         / ntok.cast("double")
@@ -888,7 +897,11 @@ def curation_report(
         F.count("*").alias("n_docs"),
         F.sum("_ntok").alias("n_tokens"),
         *[
-            F.sum(F.col(r).cast("long")).alias(f"{r}_n")
+            # when().otherwise(0): a NULL rule (degenerate doc, e.g.
+            # empty text -> NULL punct ratio) counts as NOT passed —
+            # matching the oracle's CASE WHEN; a bare sum(cast) would
+            # return NULL for an all-degenerate stratum
+            F.sum(F.when(F.col(r), 1).otherwise(0).cast("long")).alias(f"{r}_n")
             for r in _QF_RULES
         ],
         F.sum(F.col("keep").cast("long")).alias("keep_n"),

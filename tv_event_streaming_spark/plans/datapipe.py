@@ -176,7 +176,11 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count(t).alias("n_ws_tokens"),
         bpe.alias("n_bpe_tokens"),
         F.length(t).cast("long").alias("n_chars"),
-        (F.length(t).cast("double") / bpe.cast("double")).alias("chars_per_token"),
+        # try_divide: zero BPE tokens (empty/whitespace doc) must yield
+        # NULL like the DuckDB oracle, not an ANSI crash
+        F.try_divide(F.length(t).cast("double"), bpe.cast("double")).alias(
+            "chars_per_token"
+        ),
     )
 
 
