@@ -247,3 +247,83 @@ def test_text_entries_match_oracle_on_random_documents(
             )
     finally:
         con.close()
+
+
+# embeddings-based entries cheap enough to fuzz; all need seed ids
+# 0..15 present and 64-dim vectors (the PQ/ANN oracles encode the
+# corpus dimensionality — 8x8 subspaces — as literals, like the real
+# table). Vectors are NONZERO-norm by construction: zero-norm cosine
+# is a documented round-6 null-safety item (Spark NaN vs DuckDB NULL
+# ordering) — fuzz here targets quantization-floor and tie edges.
+EMB_FUZZ_ENTRIES = [
+    "ann_cosine_topk",
+    "kmeans_update",
+    "pq_encode",
+]
+
+_component = st.one_of(
+    st.floats(-2.0, 2.0, allow_nan=False, width=32),
+    # quantization-floor edges: values straddling the 1e-6 grid and
+    # exact negatives (floor(-x*1e6) != -floor(x*1e6))
+    st.sampled_from(
+        [0.5, -0.5, 1e-6, -1e-6, 4.9999e-7, -4.9999e-7, 0.1, -0.1, 1.0]
+    ),
+)
+
+_vec = st.lists(_component, min_size=64, max_size=64).filter(
+    lambda v: any(abs(x) >= 1e-3 for x in v)
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(_vec, min_size=16, max_size=20),
+    dup_of=st.integers(0, 15),
+)
+def test_similarity_entries_match_oracle_on_random_vectors(
+    spark, tmp_path_factory, vecs, dup_of
+):
+    import duckdb  # noqa: PLC0415
+
+    # plant an exact duplicate of one seed vector => guaranteed cosine
+    # ties; tie-breaks must agree cross-engine
+    vecs = list(vecs) + [list(vecs[dup_of])]
+    tmpdir = tmp_path_factory.mktemp("embfuzz")
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/embeddings.parquet")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmpdir}/embeddings.parquet')"
+        )
+        for name in EMB_FUZZ_ENTRIES:
+            entry = CATALOG[name]
+            spark_pdf = entry.build(spark, str(tmpdir)).toPandas()
+            duck_pdf = con.execute(entry.oracle).fetchdf()
+            assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
+            assert len(spark_pdf) == len(duck_pdf), (
+                name,
+                len(spark_pdf),
+                len(duck_pdf),
+            )
+            a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+            assert a == b, (
+                name,
+                [(x, y) for x, y in zip(a, b) if x != y][:3],
+            )
+            spark.catalog.clearCache()
+    finally:
+        con.close()
