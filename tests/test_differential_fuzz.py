@@ -252,9 +252,11 @@ def test_text_entries_match_oracle_on_random_documents(
 # embeddings-based entries cheap enough to fuzz; all need seed ids
 # 0..15 present and 64-dim vectors (the PQ/ANN oracles encode the
 # corpus dimensionality — 8x8 subspaces — as literals, like the real
-# table). Vectors are NONZERO-norm by construction: zero-norm cosine
-# is a documented round-6 null-safety item (Spark NaN vs DuckDB NULL
-# ordering) — fuzz here targets quantization-floor and tie edges.
+# table). SEEDS are nonzero-norm (the documented contract: seed
+# vectors must be rankable); the tail injects all-zero and
+# sub-quantization-grid vectors, which cosine entries must EXCLUDE
+# identically on both engines (similarity.nonzero_norm) and pq_encode
+# must still encode.
 EMB_FUZZ_ENTRIES = [
     "ann_cosine_topk",
     "kmeans_update",
@@ -283,15 +285,21 @@ _vec = st.lists(_component, min_size=64, max_size=64).filter(
 @given(
     vecs=st.lists(_vec, min_size=16, max_size=20),
     dup_of=st.integers(0, 15),
+    n_zero=st.integers(0, 3),
 )
 def test_similarity_entries_match_oracle_on_random_vectors(
-    spark, tmp_path_factory, vecs, dup_of
+    spark, tmp_path_factory, vecs, dup_of, n_zero
 ):
     import duckdb  # noqa: PLC0415
 
-    # plant an exact duplicate of one seed vector => guaranteed cosine
-    # ties; tie-breaks must agree cross-engine
+    # plant an exact duplicate of one seed vector (guaranteed cosine
+    # ties; tie-breaks must agree cross-engine), then unrankable
+    # vectors: all-zero and below the 1e-6 quantization grid — both
+    # must be EXCLUDED from cosine results by the exact quantized-norm
+    # filter on both engines
     vecs = list(vecs) + [list(vecs[dup_of])]
+    for i in range(n_zero):
+        vecs.append([0.0] * 64 if i % 2 == 0 else [4.9e-7] * 64)
     tmpdir = tmp_path_factory.mktemp("embfuzz")
     table = pa.table(
         {

@@ -49,6 +49,21 @@ def quantized_norm_sq(a: Column) -> Column:
     )
 
 
+
+def nonzero_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exclude zero-norm vectors from similarity scoring. A zero vector
+    has no direction: every cosine against it is 0/0 — IEEE NaN in
+    Spark (which sorts FIRST under DESC) but NULL in SQL engines (which
+    sort last), so one dead-model output in the corpus would both
+    corrupt top-k rankings and diverge them cross-engine (found by the
+    embedding fuzzer). Exclusion is the defined semantics, applied at
+    every cosine-scoring entry point and mirrored as a WHERE norm > 0
+    in the SQL twins; PQ ENCODING keeps zero vectors (squared-L2 needs
+    no normalization — they encode to the all-nearest-codeword row).
+    The filter is one quantized-integer comparison, map-side."""
+    return embeddings.filter(quantized_norm_sq(F.col(vec_col)) > 0)
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     query_filter: Column,
@@ -61,6 +76,7 @@ def cosine_topk_bruteforce(
     The query side is broadcast (it's small by construction); the corpus
     never shuffles. Ranking ties break on neighbor id for determinism.
     """
+    embeddings = nonzero_norm(embeddings, vec_col)
     q = embeddings.filter(query_filter).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -201,6 +217,7 @@ def cosine_topk_lsh(
     fixed), so no candidate dedup is needed."""
     if probe_hamming not in (0, 1):
         raise ValueError("probe_hamming supports 0 (exact bucket) or 1")
+    embeddings = nonzero_norm(embeddings, vec_col)
     sig_udf = banded_signatures_vectorized(dims, 1, bits)
     sig = embeddings.select(
         F.col(id_col),
@@ -274,6 +291,7 @@ def kmeans_centroids(
     Internal float math (this is an index-build step, not an
     oracle-checked query); empty cells keep their previous centroid.
     """
+    embeddings = nonzero_norm(embeddings, vec_col)
     spark = embeddings.sparkSession
     seeds = sorted(
         embeddings.filter(F.col(id_col) < k).select(id_col, vec_col).collect(),
@@ -370,6 +388,7 @@ def kmeans_update_stats(
     corpus."""
     import math  # noqa: PLC0415
 
+    embeddings = nonzero_norm(embeddings, vec_col)
     cent_rows = sorted(
         embeddings.filter(F.col(id_col) < n_centroids)
         .select(id_col, vec_col)
@@ -475,6 +494,7 @@ def cosine_topk_ivf(
     """
     import math  # noqa: PLC0415
 
+    embeddings = nonzero_norm(embeddings, vec_col)
     if centroids is not None:
         # refined centroids (e.g. from kmeans_centroids) — same machinery
         cent_rows: list = list(centroids)
@@ -596,6 +616,7 @@ def build_ivf_index(
     """
     import math  # noqa: PLC0415
 
+    embeddings = nonzero_norm(embeddings, vec_col)
     spark = embeddings.sparkSession
     if centroids is None:
         cent_rows: list = sorted(
@@ -775,6 +796,7 @@ def allpairs_cosine_lsh(
     # unsplittable row group, and the per-group scorer keeps one task
     # per core — AQE would coalesce these tiny-byte exchanges into
     # 1-2 partitions and serialize thousands of group calls.
+    embeddings = nonzero_norm(embeddings, vec_col)
     n_par = embeddings.sparkSession.sparkContext.defaultParallelism
     sig_udf = banded_signatures_vectorized(dims, bands, bits_per_band)
     sig = embeddings.repartition(n_par, F.col(id_col)).select(
@@ -882,6 +904,7 @@ def allpairs_cosine_exact(
     task, (nb·(nb+1))/2 tasks). Use as the recall baseline for the LSH
     paths, or when 100% recall is required on a corpus small enough to
     afford N²."""
+    embeddings = nonzero_norm(embeddings, vec_col)
     n = embeddings.count()
     nb = max(1, -(-n // max_block_size))
     blocked = (
@@ -975,6 +998,7 @@ def _seed_cell_assignment(
     single broadcast row; the corpus never shuffles."""
     import math  # noqa: PLC0415
 
+    embeddings = nonzero_norm(embeddings, vec_col)
     cent_rows = sorted(
         embeddings.filter(F.col(id_col) < n_centroids)
         .select(id_col, vec_col)
@@ -1614,6 +1638,7 @@ def cosine_topk_pq_rerank(
     BROADCAST side of the fetch join — the corpus-sized embeddings
     table never shuffles; scoring and the final top-k window run on
     candidate-sized data."""
+    embeddings = nonzero_norm(embeddings, vec_col)
     cand = cosine_topk_pq_adc(
         embeddings, query_filter, shortlist, n_sub, k_codes, id_col, vec_col,
         codebook,

@@ -46,6 +46,15 @@ _NORMSQ = (
     f"x -> {_Q.format(x='x')} * {_Q.format(x='x')})) AS DOUBLE)"
 )
 
+# zero-norm vectors are EXCLUDED from cosine scoring (similarity.
+# nonzero_norm): 0/0 is IEEE NaN in Spark but NULL in SQL, and the two
+# sort differently — every cosine oracle reads the corpus through this
+# CTE, mirroring the operator-side filter
+_NZ_CTE = (
+    "nz AS (SELECT * FROM embeddings "
+    f"WHERE {_NORMSQ.format(v='embedding')} > 0)"
+)
+
 # SQL twins of the repetition gates (text._repetition_rules): trimmed
 # non-empty lines of the RAW text; ALL (non-distinct) word 2-grams; the
 # top-2-gram char mass as the quadratic max over distinct grams of
@@ -440,8 +449,9 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_cosine_topk",
     f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+WITH nz AS (SELECT * FROM embeddings WHERE CAST(list_sum(list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000) AS BIGINT) * CAST(FLOOR(CAST(x AS DOUBLE)*1000000) AS BIGINT))) AS DOUBLE) > 0),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM nz WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM nz),
 scored AS (
   SELECT query_id, neighbor_id,
          {_DOT.format(a='qvec', b='cvec')}
@@ -465,8 +475,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_cosine_ivf",
     f"""
-WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16
+WITH {_NZ_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM nz WHERE vec_id < 16
 ),
 ranked AS (
   SELECT e.vec_id, e.embedding, c.cent_id,
@@ -476,7 +487,7 @@ ranked AS (
                     / sqrt({_NORMSQ.format(v='e.embedding')} * {_NORMSQ.format(v='c.cvec')}) DESC,
                     c.cent_id
          ) AS rn
-  FROM embeddings e, cents c
+  FROM nz e, cents c
 ),
 assign AS (
   SELECT vec_id AS neighbor_id, embedding AS nvec, cent_id AS cell
@@ -510,8 +521,9 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "kmeans_update",
     f"""
-WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16
+WITH {_NZ_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM nz WHERE vec_id < 16
 ),
 ranked AS (
   SELECT e.vec_id, e.embedding, c.cent_id,
@@ -521,7 +533,7 @@ ranked AS (
                     / sqrt({_NORMSQ.format(v='e.embedding')} * {_NORMSQ.format(v='c.cvec')}) DESC,
                     c.cent_id
          ) AS rn
-  FROM embeddings e, cents c
+  FROM nz e, cents c
 ),
 assign AS (SELECT vec_id, embedding, cent_id AS cell FROM ranked WHERE rn = 1),
 ex AS (
@@ -842,8 +854,9 @@ def _lsh_bucket_sql(
 @register(
     "ann_cosine_lsh",
     f"""
-WITH sig AS (
-  SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings
+WITH {_NZ_CTE},
+sig AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM nz
 ),
 q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM sig WHERE vec_id < 5),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cvec, bucket FROM sig),
@@ -871,8 +884,9 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_cosine_lsh_multiprobe",
     f"""
-WITH sig AS (
-  SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings
+WITH {_NZ_CTE},
+sig AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM nz
 ),
 q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM sig WHERE vec_id < 5),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cvec, bucket FROM sig),
@@ -912,8 +926,8 @@ def _neardup_band_join_sql(bands: int = 4, bits_per_band: int = 8) -> str:
         bkt = _lsh_bucket_sql(plane_offset=b * bits_per_band, bits=bits_per_band)
         parts.append(
             f"SELECT a.vec_id AS id_a, b.vec_id AS id_b\n"
-            f"  FROM (SELECT vec_id, {bkt} AS bkt FROM embeddings) a\n"
-            f"  JOIN (SELECT vec_id, {bkt} AS bkt FROM embeddings) b\n"
+            f"  FROM (SELECT vec_id, {bkt} AS bkt FROM nz) a\n"
+            f"  JOIN (SELECT vec_id, {bkt} AS bkt FROM nz) b\n"
             f"    ON a.bkt = b.bkt AND a.vec_id < b.vec_id"
         )
     return "\nUNION\n".join(parts)
@@ -922,7 +936,8 @@ def _neardup_band_join_sql(bands: int = 4, bits_per_band: int = 8) -> str:
 @register(
     "embedding_neardup_topk",
     f"""
-WITH cand AS (
+WITH {_NZ_CTE},
+cand AS (
 {_neardup_band_join_sql()}
 ),
 scored AS (
@@ -1518,8 +1533,9 @@ e AS (
            AS emb
   FROM st
 ),
-q AS (SELECT doc_id AS query_id, emb AS qv FROM e WHERE doc_id < 5),
-c AS (SELECT doc_id AS neighbor_id, emb AS cv FROM e),
+nz_e AS (SELECT * FROM e WHERE {_NORMSQ.format(v='emb')} > 0),
+q AS (SELECT doc_id AS query_id, emb AS qv FROM nz_e WHERE doc_id < 5),
+c AS (SELECT doc_id AS neighbor_id, emb AS cv FROM nz_e),
 scored AS (
   SELECT query_id, neighbor_id,
          {_DOT.format(a='qv', b='cv')}
@@ -1836,8 +1852,9 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared nearest-seed-centroid assignment CTE (the deterministic id<16
 # seed convention every IVF-family entry uses; ties to lowest cent_id)
-_ASSIGN_CTE = f"""cents AS (
-  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16
+_ASSIGN_CTE = f"""{_NZ_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM nz WHERE vec_id < 16
 ),
 ranked AS (
   SELECT e.vec_id, e.embedding, c.cent_id,
@@ -1847,7 +1864,7 @@ ranked AS (
                     / sqrt({_NORMSQ.format(v='e.embedding')} * {_NORMSQ.format(v='c.cvec')}) DESC,
                     c.cent_id
          ) AS rn
-  FROM embeddings e, cents c
+  FROM nz e, cents c
 ),
 assign AS (
   SELECT vec_id, embedding, CAST(cent_id AS INTEGER) AS cell FROM ranked WHERE rn = 1
@@ -1925,8 +1942,9 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_recall_eval",
     f"""
-WITH sig AS (
-  SELECT vec_id, embedding, {_lsh_bucket_sql(bits=4)} AS bucket FROM embeddings
+WITH {_NZ_CTE},
+sig AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql(bits=4)} AS bucket FROM nz
 ),
 q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM sig WHERE vec_id < 25),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cvec, bucket FROM sig),
@@ -2368,15 +2386,20 @@ def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixedpoint(edges, iters=3).withColumnRenamed("node", "node")
 
 
+_PQ_CB_CTE_NZ = _PQ_CB_CTE.replace("FROM embeddings,", "FROM nz,")
+_PQ_ENC_CTE_NZ = _PQ_ENC_CTE.replace("FROM embeddings e", "FROM nz e")
+
+
 @register(
     "ann_pq_rerank",
     f"""
-WITH {_PQ_CB_CTE},
-{_PQ_ENC_CTE},
+WITH {_NZ_CTE},
+{_PQ_CB_CTE_NZ},
+{_PQ_ENC_CTE_NZ},
 lut AS (
   SELECT q.vec_id AS query_id, cb.m, cb.code,
          {_PQDIST.format(a=_PQSUB.format(v='q.embedding', m='cb.m'), b='cb.qc')} AS ldist
-  FROM embeddings q, cb WHERE q.vec_id < 5
+  FROM nz q, cb WHERE q.vec_id < 5
 ),
 adc AS (
   SELECT l.query_id, e.vec_id AS neighbor_id,
@@ -2396,8 +2419,8 @@ rer AS (
          {_DOT.format(a='q.embedding', b='n.embedding')}
          / sqrt({_NORMSQ.format(v='q.embedding')} * {_NORMSQ.format(v='n.embedding')}) AS cos_sim
   FROM short s
-  JOIN embeddings q ON q.vec_id = s.query_id
-  JOIN embeddings n ON n.vec_id = s.neighbor_id
+  JOIN nz q ON q.vec_id = s.query_id
+  JOIN nz n ON n.vec_id = s.neighbor_id
 )
 SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
