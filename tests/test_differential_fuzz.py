@@ -335,3 +335,175 @@ def test_similarity_entries_match_oracle_on_random_vectors(
             spark.catalog.clearCache()
     finally:
         con.close()
+
+
+# star-schema entries whose oracles touch ONLY these five tables are
+# fuzzed over generated mini-warehouses with adversarial structure:
+# dangling foreign keys, duplicate measure values (ties at the top-k
+# boundary), boundary order/ship dates sitting exactly on the
+# entries' predicate constants, zero discounts and 100% discounts
+TPCH_TABLES = ("orders", "lineitem", "customer", "nation", "region")
+
+
+def _tpch_fuzzable():
+    import re
+
+    out = []
+    for n, e in CATALOG.items():
+        if e.oracle is None:
+            continue
+        refs = set(re.findall(r"\b(?:FROM|JOIN)\s+(\w+)", e.oracle))
+        tabs = refs & {
+            "orders", "lineitem", "customer", "nation", "region",
+            "supplier", "part", "events", "documents", "embeddings",
+        }
+        if tabs and tabs <= set(TPCH_TABLES):
+            out.append(n)
+    return sorted(out)
+
+
+_BOUNDARY_DATES = [
+    datetime.datetime(1995, 12, 31, 23, 59, 59),
+    datetime.datetime(1996, 1, 1),
+    datetime.datetime(1997, 12, 31),
+    datetime.datetime(1998, 1, 1),
+    datetime.datetime(1998, 9, 2),
+    datetime.datetime(1998, 9, 2, 0, 0, 1),
+]
+_date = st.one_of(
+    st.sampled_from(_BOUNDARY_DATES),
+    st.integers(0, 1000).map(
+        lambda d: datetime.datetime(1995, 1, 1) + datetime.timedelta(days=d)
+    ),
+)
+
+_order = st.tuples(
+    st.integers(0, 9),  # custkey, may dangle (customers are 0..5)
+    st.sampled_from(["O", "F", "P"]),
+    st.sampled_from([100.0, 2500.5, 2500.5, 90000.25]),  # planted ties
+    _date,
+    st.sampled_from(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    ),
+)
+_line = st.tuples(
+    st.integers(0, 30),  # orderkey, may dangle
+    st.integers(1, 4),  # partkey (small => per-part groups populate)
+    st.sampled_from([1.0, 17.0, 17.0, 50.0]),  # quantity ties
+    st.sampled_from([901.0, 1504.25, 1504.25, 99999.99]),
+    st.sampled_from([0.0, 0.05, 0.1, 1.0]),  # discount incl. 100%
+    st.sampled_from([0.0, 0.08]),
+    st.sampled_from(["A", "N", "R"]),
+    st.sampled_from(["F", "O"]),
+    _date,
+)
+
+
+def _write_tpch(tmpdir, orders, lines) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], pa.int32()),
+                "r_name": pa.array(["AMERICA", "ASIA"], pa.string()),
+            }
+        ),
+        f"{tmpdir}/region.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+                "n_name": pa.array(["BRAZIL", "JAPAN", "PERU"], pa.string()),
+                "n_regionkey": pa.array([0, 1, 0], pa.int32()),
+            }
+        ),
+        f"{tmpdir}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(6), pa.int64()),
+                "c_name": pa.array([f"c{i}" for i in range(6)], pa.string()),
+                "c_nationkey": pa.array([0, 1, 2, 0, 1, 2], pa.int32()),
+                "c_acctbal": pa.array(
+                    [-10.0, 0.0, 55.5, 55.5, 900.0, 1e6], pa.float64()
+                ),
+                "c_mktsegment": pa.array(["BUILDING"] * 6, pa.string()),
+            }
+        ),
+        f"{tmpdir}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(orders)), pa.int64()),
+                "o_custkey": pa.array([o[0] for o in orders], pa.int64()),
+                "o_orderstatus": pa.array([o[1] for o in orders], pa.string()),
+                "o_totalprice": pa.array([o[2] for o in orders], pa.float64()),
+                "o_orderdate": pa.array(
+                    [o[3] for o in orders], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array([o[4] for o in orders], pa.string()),
+            }
+        ),
+        f"{tmpdir}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([ln[0] for ln in lines], pa.int64()),
+                "l_partkey": pa.array([ln[1] for ln in lines], pa.int64()),
+                "l_suppkey": pa.array([1] * len(lines), pa.int64()),
+                "l_linenumber": pa.array(range(len(lines)), pa.int32()),
+                "l_quantity": pa.array([ln[2] for ln in lines], pa.float64()),
+                "l_extendedprice": pa.array([ln[3] for ln in lines], pa.float64()),
+                "l_discount": pa.array([ln[4] for ln in lines], pa.float64()),
+                "l_tax": pa.array([ln[5] for ln in lines], pa.float64()),
+                "l_returnflag": pa.array([ln[6] for ln in lines], pa.string()),
+                "l_linestatus": pa.array([ln[7] for ln in lines], pa.string()),
+                "l_shipdate": pa.array([ln[8] for ln in lines], pa.timestamp("us")),
+            }
+        ),
+        f"{tmpdir}/lineitem.parquet",
+    )
+    return str(tmpdir)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    orders=st.lists(_order, min_size=1, max_size=25),
+    lines=st.lists(_line, min_size=1, max_size=50),
+)
+def test_tpch_entries_match_oracle_on_random_warehouse(
+    spark, tmp_path_factory, orders, lines
+):
+    import duckdb  # noqa: PLC0415
+
+    sf_dir = _write_tpch(tmp_path_factory.mktemp("tpchfuzz"), orders, lines)
+    con = duckdb.connect()
+    try:
+        for t in TPCH_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name in _tpch_fuzzable():
+            entry = CATALOG[name]
+            spark_pdf = entry.build(spark, sf_dir).toPandas()
+            duck_pdf = con.execute(entry.oracle).fetchdf()
+            assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
+            assert len(spark_pdf) == len(duck_pdf), (
+                name,
+                len(spark_pdf),
+                len(duck_pdf),
+            )
+            a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+            assert a == b, (
+                name,
+                [(x, y) for x, y in zip(a, b) if x != y][:3],
+            )
+    finally:
+        con.close()
