@@ -507,3 +507,129 @@ def test_tpch_entries_match_oracle_on_random_warehouse(
             )
     finally:
         con.close()
+
+
+# the REFERENCE surface: every domain-derived entry (sources/genres/
+# titles/index/prefs all derive from part/supplier/nation/customer —
+# SURVEY §1.5) fuzzed over generated dimension tables. partkey values
+# drive the derivation's mod-7/11/2/35/101 branches (NULL poster,
+# empty poster, movie/tv split, rating grid); supplier must be
+# non-empty (sn=0 would make the pref derivation's mod undefined —
+# an empty sources table has no reference meaning).
+DOMAIN_FUZZ_ENTRIES = [
+    "get_sources",
+    "get_genres",
+    "get_preferences",
+    "prefs_response",
+    "prefs_delta",
+    "titles_by_overlap",
+    "titles_for_users",
+    "recommendations",
+    "titles_by_ids",
+    "titles_display",
+    "index_build",
+    "distinct_prefs",
+    "top_combinations",
+    "data_quality",
+    "ref_data_validity",
+]
+
+_pname = st.one_of(
+    st.sampled_from(["alpha beta", "Grüße 北京", "x", "", "a'b\"c"]),
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz ÄÖÜß-",
+        min_size=1,
+        max_size=20,
+    ),
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    partkeys=st.lists(
+        st.integers(0, 3000), min_size=1, max_size=40, unique=True
+    ),
+    pnames=st.lists(_pname, min_size=40, max_size=40),
+    n_supp=st.integers(1, 9),
+    n_cust=st.integers(1, 30),
+)
+def test_reference_entries_match_oracle_on_random_domain(
+    spark, tmp_path_factory, partkeys, pnames, n_supp, n_cust
+):
+    import shutil
+
+    from .oracle import duck_connection
+
+    tmpdir = tmp_path_factory.mktemp("domfuzz")
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(sorted(partkeys), pa.int64()),
+                "p_name": pa.array(pnames[: len(partkeys)], pa.string()),
+                "p_brand": pa.array(["B"] * len(partkeys), pa.string()),
+                "p_type": pa.array(["T"] * len(partkeys), pa.string()),
+                "p_size": pa.array([1] * len(partkeys), pa.int32()),
+                "p_retailprice": pa.array([9.99] * len(partkeys), pa.float64()),
+            }
+        ),
+        f"{tmpdir}/part.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(range(n_supp), pa.int64()),
+                "s_name": pa.array([f"s{i}" for i in range(n_supp)], pa.string()),
+                "s_nationkey": pa.array([i % 3 for i in range(n_supp)], pa.int32()),
+                "s_acctbal": pa.array([float(i) for i in range(n_supp)], pa.float64()),
+            }
+        ),
+        f"{tmpdir}/supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+                "n_name": pa.array(["BRAZIL", "JAPAN", "PERU"], pa.string()),
+                "n_regionkey": pa.array([0, 1, 0], pa.int32()),
+            }
+        ),
+        f"{tmpdir}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n_cust), pa.int64()),
+                "c_name": pa.array([f"c{i}" for i in range(n_cust)], pa.string()),
+                "c_nationkey": pa.array([i % 3 for i in range(n_cust)], pa.int32()),
+                "c_acctbal": pa.array([0.0] * n_cust, pa.float64()),
+                "c_mktsegment": pa.array(["BUILDING"] * n_cust, pa.string()),
+            }
+        ),
+        f"{tmpdir}/customer.parquet",
+    )
+    for t in ("region", "orders", "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{tmpdir}/{t}.parquet")
+
+    con = duck_connection(str(tmpdir))
+    try:
+        for name in DOMAIN_FUZZ_ENTRIES:
+            entry = CATALOG[name]
+            spark_pdf = entry.build(spark, str(tmpdir)).toPandas()
+            duck_pdf = con.execute(entry.oracle).fetchdf()
+            assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
+            assert len(spark_pdf) == len(duck_pdf), (
+                name,
+                len(spark_pdf),
+                len(duck_pdf),
+            )
+            a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+            assert a == b, (
+                name,
+                [(x, y) for x, y in zip(a, b) if x != y][:3],
+            )
+    finally:
+        con.close()
