@@ -25,6 +25,12 @@ from tv_event_streaming_spark.plans import CATALOG
 
 from .oracle import canonicalize
 
+# per-test example count; a deep sweep (FUZZ_EXAMPLES=25) runs in CI
+# spirit before round close, the default keeps the suite fast
+import os
+
+_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES", "4"))
+
 # events-only entries, cheap enough to fuzz (no iterative/persisting
 # builders); every one reads ONLY the events table
 FUZZ_ENTRIES = [
@@ -90,7 +96,7 @@ def _write_events(rows, tmpdir) -> str:
 
 
 @settings(
-    max_examples=4,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -214,7 +220,7 @@ def _write_documents(rows, tmpdir) -> str:
 
 
 @settings(
-    max_examples=4,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -278,7 +284,7 @@ _vec = st.lists(_component, min_size=64, max_size=64).filter(
 
 
 @settings(
-    max_examples=4,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -470,7 +476,7 @@ def _write_tpch(tmpdir, orders, lines) -> str:
 
 
 @settings(
-    max_examples=4,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -545,7 +551,7 @@ _pname = st.one_of(
 
 
 @settings(
-    max_examples=4,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

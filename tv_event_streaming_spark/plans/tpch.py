@@ -329,6 +329,7 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY CUBE(r_name, o_orderpriority)
+HAVING count(*) > 0
 """,
     doc="CUBE multi-granularity rollup — region × priority revenue with "
     "all four subtotal levels in ONE pass (the OLAP cube/grouping-sets "
