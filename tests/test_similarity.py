@@ -409,3 +409,50 @@ def test_pq_rerank_recovers_recall(spark, sf_dir):
     for q in range(25):
         if (q, 1) in rows and (q, 5) in rows:
             assert rows[(q, 1)] >= rows[(q, 5)]
+
+
+def test_ivfpq_finds_twin_and_prunes(spark, emb_with_twins):
+    """The full faiss-IndexIVFPQ composition: near-identical twins land
+    in the same cell with identical codes, so cell-pruned ADC +
+    rerank retrieves them as top-1; and the probed candidate set is a
+    strict subset of the corpus (the pruning that makes the query
+    touch nprobe/n_centroids of a 100 TB index)."""
+    from tv_event_streaming_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        ivfpq_index,
+    )
+
+    idx = ivfpq_index(emb_with_twins, n_centroids=16)
+    topk = cosine_topk_ivfpq(
+        emb_with_twins, F.col("vec_id") < 5, k=1, nprobe=4, index=idx
+    )
+    rows = {r.query_id: r for r in topk.collect()}
+    for q in range(5):
+        assert rows[q].neighbor_id == q + OFFSET, rows[q]
+    # pruning: the index rows in probed cells are fewer than the corpus
+    n_corpus = emb_with_twins.count()
+    cells = {r.cell for r in idx.select("cell").distinct().collect()}
+    assert len(cells) > 4  # multiple cells => probing actually prunes
+    idx.unpersist()
+
+
+def test_ivfpq_recall_close_to_full_pq_rerank(spark, sf_dir):
+    """Cell pruning trades recall for scan cost; with nprobe=all cells
+    the IVF-PQ result must EQUAL the unpruned PQ rerank (same codes,
+    same shortlist, same rerank)."""
+    from tv_event_streaming_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        cosine_topk_pq_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = cosine_topk_ivfpq(
+        emb, F.col("vec_id") < 10, k=5, n_centroids=16, nprobe=16
+    )
+    unpruned = cosine_topk_pq_rerank(
+        emb, F.col("vec_id") < 10, k=5, shortlist=50
+    )
+    a = sorted(tuple(r) for r in full.collect())
+    b = sorted(tuple(r) for r in unpruned.collect())
+    assert a == b
+    spark.catalog.clearCache()

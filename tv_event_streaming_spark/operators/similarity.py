@@ -1671,3 +1671,183 @@ def cosine_topk_pq_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the combined production index (cells for pruning, codes for
+# compression) — faiss's IndexIVFPQ shape, composed from the verified
+# tiers above. pytest-verified (tests/test_similarity.py); the separate
+# cell (ann_cosine_ivf) and code (ann_pq_*) tiers carry the driver
+# hashes, so this composition adds no oracle surface.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The combined IVF-PQ index: one row per vector with its coarse
+    CELL (nearest seed centroid — the pruning key a partitioned write
+    turns into PartitionFilters, see :func:`build_ivf_index`) and its
+    PQ CODES (n_sub bytes — the compression that replaces the raw
+    vector at scan time). PERSISTED: it is scanned by every query and
+    its columns feed nested ADC lambdas (SCALE.md §6c — staged arrays
+    under nested lambdas need a materialization point).
+
+    Build cost: the assignment and encode passes each stream the corpus
+    once against one broadcast row; the only shuffle is the
+    codes-groupBy inherited from :func:`pq_encode`. At 100 TB write it
+    ``partitionBy("cell")`` like the IVF index and the index is
+    ~n_sub bytes/vector on disk."""
+    assign = _seed_cell_assignment(
+        embeddings, n_centroids, id_col, vec_col
+    ).select(id_col, "cell")
+    codes = pq_index(embeddings, n_sub, k_codes, id_col, vec_col)
+    return assign.join(codes, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def cosine_topk_ivfpq(
+    embeddings: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """The full production ANN query (faiss IndexIVFPQ): per query,
+    (1) the ``nprobe`` nearest cells are chosen against the broadcast
+    centroid row — the scan then touches only nprobe/n_centroids of
+    the index; (2) ADC over the PQ codes of the probed cells
+    shortlists candidates reading ~n_sub bytes/vector; (3) only the
+    shortlist's full vectors are fetched and exactly re-ranked by
+    quantized cosine. Compute scales with the probed slice and the
+    shortlist, never the corpus.
+
+    Deterministic end-to-end (quantized-integer cell choice, integer
+    ADC, quantized-cosine rerank, id tie-breaks); recall vs the exact
+    scan is pinned in tests/test_similarity.py."""
+    import math  # noqa: PLC0415
+
+    embeddings = nonzero_norm(embeddings, vec_col)
+    spark = embeddings.sparkSession
+    if index is None:
+        index = ivfpq_index(
+            embeddings, n_centroids, n_sub, k_codes, id_col, vec_col
+        )
+
+    cent_rows = sorted(
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    qcents = [
+        (int(r[0]), [int(math.floor(float(x) * QUANT)) for x in r[1]])
+        for r in cent_rows
+    ]
+    cbq = (
+        pq_seed_codebook(embeddings, n_sub, k_codes, id_col, vec_col)
+    )
+    sub = len(cbq[0][0])
+
+    q_rows = embeddings.filter(query_filter).select(id_col, vec_col).collect()
+    luts = []
+    for qr in q_rows:
+        qq = [int(math.floor(float(x) * QUANT)) for x in qr[1]]
+        qn = sum(x * x for x in qq)
+        scored = []
+        for cid, cq in qcents:
+            dot = sum(a * b for a, b in zip(qq, cq))
+            cn = sum(x * x for x in cq)
+            scored.append((-(dot / math.sqrt(qn * cn)) if cn else 0.0, cid))
+        probes = [cid for _, cid in sorted(scored)[:nprobe]]
+        lut = [
+            [
+                sum(
+                    (qq[m * sub + d] - cw[d]) * (qq[m * sub + d] - cw[d])
+                    for d in range(sub)
+                )
+                for cw in cbq[m]
+            ]
+            for m in range(n_sub)
+        ]
+        luts.append((int(qr[0]), probes, lut))
+    lut_row = spark.createDataFrame(
+        [(luts,)],
+        "_lut array<struct<query_id:bigint,probes:array<int>,l:array<array<bigint>>>>",
+    )
+
+    per_query = F.transform(
+        F.col("_lut"),
+        lambda u: F.named_struct(
+            F.lit("query_id"),
+            u["query_id"],
+            F.lit("probed"),
+            F.array_contains(u["probes"], F.col("cell")),
+            F.lit("adist"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    u["l"],
+                    lambda c, lm: F.element_at(lm, c + 1),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    cand = (
+        index.crossJoin(F.broadcast(lut_row))
+        .select(F.col(id_col).alias("neighbor_id"), F.explode(per_query).alias("_s"))
+        .filter(F.col("_s")["probed"])
+        .select(
+            F.col("_s")["query_id"].alias("query_id"),
+            "neighbor_id",
+            F.col("_s")["adist"].alias("adist"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    short = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qvecs = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        quantized_norm_sq(F.col(vec_col)).alias("qnorm"),
+    )
+    fetched = F.broadcast(short.join(qvecs, "query_id")).join(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            quantized_norm_sq(F.col(vec_col)).alias("cnorm"),
+        ),
+        "neighbor_id",
+    )
+    scored = fetched.select(
+        "query_id",
+        "neighbor_id",
+        (
+            quantized_dot(F.col("qvec"), F.col("cvec")).cast("double")
+            / F.sqrt(F.col("qnorm").cast("double") * F.col("cnorm").cast("double"))
+        ).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim"
+        )
+    )
