@@ -1421,6 +1421,61 @@ def pq_train(
     return codebook
 
 
+def _pq_firsts(sub: int, k_codes: int) -> Column:
+    """Per-row PQ argmin chain over staged ``_qv`` and broadcast
+    ``_cb`` columns: score every (subspace, codeword), sort
+    lexicographically by (m, qdist, code) — subspace m's best codeword
+    then sits exactly at index m·k_codes — and extract all argmins
+    with ONE indexed filter pass (no re-references to the scored
+    array; SCALE.md §6c inlining family)."""
+    scored = F.transform(
+        F.col("_cb"),
+        lambda e: F.named_struct(
+            F.lit("m"),
+            e["m"],
+            F.lit("qdist"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("_qv"), e["m"] * sub + 1, sub),
+                    e["qc"],
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+            F.lit("code"),
+            e["code"],
+        ),
+    )
+    return F.filter(F.array_sort(scored), lambda e, i: i % k_codes == 0)
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """Per-VECTOR code arrays ``(id, codes array<int>)`` in ONE
+    map-side pass — no explode, no shuffle — so the encode chain
+    composes onto STREAMS (streaming.dedup.semantic_dedup_stream) and
+    the index build skips the explode→groupBy reassembly."""
+    cb, sub = _pq_codebook_row(embeddings, n_sub, k_codes, id_col, vec_col, codebook)
+    staged = embeddings.select(
+        F.col(id_col), F.transform(F.col(vec_col), _q).alias("_qv")
+    )
+    firsts = _pq_firsts(sub, k_codes)
+    return (
+        staged.crossJoin(F.broadcast(cb))
+        .select(
+            id_col,
+            F.transform(firsts, lambda e: e["code"].cast("int")).alias("codes"),
+        )
+    )
+
+
 def pq_encode(
     embeddings: DataFrame,
     n_sub: int = 8,
@@ -1454,30 +1509,7 @@ def pq_encode(
     staged = embeddings.select(
         F.col(id_col), F.transform(F.col(vec_col), _q).alias("_qv")
     )
-
-    scored = F.transform(
-        F.col("_cb"),
-        lambda e: F.named_struct(
-            F.lit("m"),
-            e["m"],
-            F.lit("qdist"),
-            F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("_qv"), e["m"] * sub + 1, sub),
-                    e["qc"],
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-            F.lit("code"),
-            e["code"],
-        ),
-    )
-    # sorted lexicographically by (m, qdist, code): subspace m's best
-    # codeword sits exactly at index m*k_codes — one indexed filter pass
-    # extracts all argmins without re-referencing the scored array
-    firsts = F.filter(F.array_sort(scored), lambda e, i: i % k_codes == 0)
+    firsts = _pq_firsts(sub, k_codes)
     return (
         staged.crossJoin(F.broadcast(cb))
         .select(F.col(id_col), F.explode(firsts).alias("_e"))
@@ -1506,19 +1538,9 @@ def pq_index(
     exchange barriers don't stop the collapse; an InMemoryRelation
     attribute does). Persisting is also semantically the point: this IS
     the index build, done once, scanned by every query after."""
-    enc = pq_encode(embeddings, n_sub, k_codes, id_col, vec_col, codebook)
-    return (
-        enc.groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("m", "code")),
-                ),
-                lambda e: e["code"],
-            ).alias("codes")
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    return pq_codes(
+        embeddings, n_sub, k_codes, id_col, vec_col, codebook
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def cosine_topk_pq_adc(
