@@ -3,8 +3,6 @@ mass bounds, and determinism."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from tv_event_streaming_spark.operators.graph import PR_SCALE, pagerank_fixedpoint
 
 
