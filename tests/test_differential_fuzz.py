@@ -286,7 +286,13 @@ _vec = st.lists(_component, min_size=64, max_size=64).filter(
 @settings(
     max_examples=_EXAMPLES,
     deadline=None,
-    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    # data_too_large: corpus-shaped examples ARE large (>=16 vectors x
+    # 64 float32) — that is the contract, not a generation smell
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.data_too_large,
+    ],
 )
 @given(
     vecs=st.lists(_vec, min_size=16, max_size=20),
