@@ -51,6 +51,9 @@ def test_pq_index_is_persisted_for_the_adc_scan(spark, sf_dir):
     # re-inlines the whole encode pipeline per LUT reference
     plan = plan_of(spark, "ann_pq_adc", sf_dir)
     assert "InMemoryTableScan" in plan
+    # pq_codes builds the index in one map-side pass: the ONLY
+    # exchange left is the per-query top-k window
+    assert n_exchanges(plan) == 1
     spark.catalog.clearCache()
 
 
