@@ -4,7 +4,15 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "catalog_total", "value": <sec>, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": 0.1}
+     "queries": {...slowest entries...}, "n_queries": N, "sf": 0.1,
+     "streaming": {...}, "details": "bench_full.json"}
+
+The final stdout line is deliberately SHORT: the driver tail-captures
+only the last ~2 KB of output, and the full 100+-entry per-query map
+outgrew that in round 5 (BENCH_r05 recorded ``parsed: null``). The
+complete per-query map goes to ``bench_full.json`` next to this script
+and to stderr; the stdout summary carries the total, the slowest
+entries, and the streaming cascade numbers.
 
 Each query executes end-to-end into the no-op sink (full computation,
 zero write cost). Timings exclude session startup.
@@ -78,10 +86,15 @@ def main() -> None:
         entry.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold = time.perf_counter() - t0
         best = float("inf")
-        # heavy entries (iterative algorithms) get one timed run; the
-        # cold run already served as their warmup
-        attempts = 1 if cold > 10.0 else 3
-        for _ in range(attempts):
+        # Up to 3 timed runs; ALWAYS at least 2 unless a run lands ≤1.5 s
+        # (spikes are upward, so a fast run can't be one). Heaviness is
+        # judged from the first TIMED run, not the cold run: round 5's
+        # driver recorded simhash_signatures at 11.88 s because a >10 s
+        # cold spike downgraded the entry to a single timed attempt which
+        # also spiked (judge A/B: 1.16 s steady-state).
+        max_attempts = 3
+        attempt = 0
+        while attempt < max_attempts:
             # Attempt-scoped cache clear: builders persist shared
             # sub-plans (MEMORY_AND_DISK), and Spark's CacheManager
             # substitutes cached plans by LOGICAL-PLAN equality — so a
@@ -96,9 +109,13 @@ def main() -> None:
             time.sleep(0.3)  # let the C2 compile queue drain new classes
             t1 = time.perf_counter()
             entry.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t1)
+            elapsed = time.perf_counter() - t1
+            best = min(best, elapsed)
+            attempt += 1
             if best <= 1.5:  # already steady; don't burn bench wall-clock
                 break
+            if attempt == 1 and elapsed > 10.0:
+                max_attempts = 2  # heavy entry: one more timed run, min of 2
         timings[name] = round(best, 3)
         print(
             f"# {name}: {timings[name]:.3f}s (cold {cold:.3f}s)", file=sys.stderr
@@ -106,13 +123,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "catalog_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
+    streaming = None
     # Streaming cascade (producer → consumer → CDC enrichment): the
     # reference's only end-to-end latency anchor is the ≤90 s smoke-test
     # allowance on this exact path, so bench it as a first-class row.
@@ -121,11 +132,57 @@ def main() -> None:
         from tools.bench_streaming import bench_cascade  # noqa: PLC0415
 
         try:
-            out["streaming"] = bench_cascade(spark, sf_dir)
-            print(f"# streaming cascade: {out['streaming']}", file=sys.stderr)
+            streaming = bench_cascade(spark, sf_dir)
+            print(f"# streaming cascade: {streaming}", file=sys.stderr)
         except Exception as exc:  # never fail the catalog numbers
-            out["streaming"] = {"error": str(exc)[:300]}
-    print(json.dumps(out))
+            streaming = {"error": str(exc)[:300]}
+
+    # Full record → file + stderr (the per-query map no longer fits the
+    # driver's ~2 KB tail capture at 100+ entries).
+    full = {
+        "metric": "catalog_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": sf,
+        "streaming": streaming,
+    }
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    with open(details_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(f"# full per-query record: {json.dumps(full)}", file=sys.stderr)
+
+    # Short stdout summary (must stay well under the tail buffer): the
+    # slowest entries stand in for the full map.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
+    )
+    out = {
+        "metric": "catalog_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "sf": sf,
+        "details": "bench_full.json",
+    }
+    if streaming is not None:
+        out["streaming"] = {
+            k: streaming[k]
+            for k in (
+                "total_sec", "produce_sec", "consume_sec", "enrich_sec",
+                "index_rows_per_sec",
+            )
+            if k in streaming
+        } or streaming
+    line = json.dumps(out)
+    if len(line) > 1500:  # never emit an unparseable (truncated) tail line
+        out["queries"] = {}
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -341,10 +341,14 @@ def _defining_module(v, modfiles: dict[str, str]) -> tuple[str, str] | tuple[Non
             mod = importlib.import_module(m)
         except Exception:
             continue
+        # collect EVERY binding of v in this module (no break): a module
+        # can both import the object under one name and assign it under
+        # another, and stopping at the alphabetically-first binding
+        # would misclassify it as non-assigning, defeating the
+        # assignment-outranks-import preference below.
         for bname in sorted(vars(mod)):
             if vars(mod)[bname] is v:
                 holders.append((m, bname))
-                break
     for m, bname in holders:
         if bname in _assigned_toplevel(m, modfiles):
             return m, bname

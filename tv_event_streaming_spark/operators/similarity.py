@@ -50,6 +50,17 @@ def quantized_norm_sq(a: Column) -> Column:
 
 
 
+def _empty_topk(embeddings: DataFrame, id_col: str, score_field: str) -> DataFrame:
+    """Zero-row (query_id, neighbor_id, rank, <score>) frame with the
+    id columns typed like ``id_col`` — the degenerate-input result shape
+    shared by the top-k entry points."""
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    return embeddings.sparkSession.createDataFrame(
+        [],
+        f"query_id {id_type}, neighbor_id {id_type}, rank int, {score_field}",
+    )
+
+
 def nonzero_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Exclude zero-norm vectors from similarity scoring. A zero vector
     has no direction: every cosine against it is 0/0 — IEEE NaN in
@@ -176,6 +187,8 @@ def banded_signatures_vectorized(
         import numpy as _np  # noqa: PLC0415
         import pandas as _pd  # noqa: PLC0415
 
+        if len(vecs) == 0:  # np.stack raises on an empty Arrow batch
+            return _pd.Series([], dtype=object)
         mat = _np.floor(
             _np.stack(vecs.to_numpy()).astype(_np.float64) * quant
         ).astype(_np.int64)
@@ -1281,22 +1294,33 @@ def pq_seed_codebook(
     k_codes: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_missing: bool = False,
 ) -> list[list[list[int]]]:
     """Deterministic PQ seed codebook ``[m][code][dim]`` in quantized
     int space: subspace sub-vectors of the vectors with ``id <
     k_codes`` (the same seeding rule the IVF/k-means tier uses, so the
-    codebook is reproducible in any engine with no RNG)."""
+    codebook is reproducible in any engine with no RNG).
+
+    ``allow_missing=True`` builds the codebook from however many seed
+    ids exist (possibly zero → ``[]``) instead of raising — the
+    semantics a SQL seed CTE has when the input was pre-filtered (e.g.
+    :func:`cosine_topk_pq_rerank` seeds over the nonzero-norm frame,
+    where a zero-norm seed simply shrinks the codebook). Codebook
+    positions stay monotone in seed id, so argmin tie-breaks match a
+    code=id oracle either way."""
     import math  # noqa: PLC0415
 
     seed_rows = sorted(
         embeddings.filter(F.col(id_col) < k_codes).select(id_col, vec_col).collect(),
         key=lambda r: r[0],
     )
-    if len(seed_rows) != k_codes:
+    if len(seed_rows) != k_codes and not allow_missing:
         raise ValueError(
             f"PQ seeding expects ids 0..{k_codes - 1} to exist; "
             f"found {len(seed_rows)}"
         )
+    if not seed_rows:
+        return []
     dims = len(seed_rows[0][1])
     if dims % n_sub:
         raise ValueError(f"dims={dims} not divisible by n_sub={n_sub}")
@@ -1552,6 +1576,7 @@ def cosine_topk_pq_adc(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: list[list[list[int]]] | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k scan over PQ codes: each query
     keeps full precision and precomputes a ``n_sub × k_codes`` lookup
@@ -1571,16 +1596,28 @@ def cosine_topk_pq_adc(
     PERSISTED code table (see :func:`pq_index` for why persistence,
     not an exchange, is the materialization point); the only shuffle
     is the per-query top-k window over |Q|·N scored rows — the same
-    shape every scan-ANN here accepts, minus the vector math."""
+    shape every scan-ANN here accepts, minus the vector math.
+
+    Callers that query repeatedly should build :func:`pq_index` once
+    and pass it as ``index`` — otherwise every invocation persists a
+    fresh code table (MEMORY_AND_DISK) that lives until ContextCleaner
+    reclaims its plan."""
     import math  # noqa: PLC0415
 
     spark = embeddings.sparkSession
-    codes = pq_index(embeddings, n_sub, k_codes, id_col, vec_col, codebook)
-
     cbq = (
         codebook
         if codebook is not None
         else pq_seed_codebook(embeddings, n_sub, k_codes, id_col, vec_col)
+    )
+    if not cbq:  # empty codebook (allow_missing seeding over a filtered
+        # frame found no seeds): no codeword ⇒ no scored pairs, like a
+        # SQL plan whose seed CTE is empty.
+        return _empty_topk(embeddings, id_col, "adist bigint")
+    codes = (
+        index
+        if index is not None
+        else pq_index(embeddings, n_sub, k_codes, id_col, vec_col, cbq)
     )
     sub = len(cbq[0][0])
     q_rows = embeddings.filter(query_filter).select(id_col, vec_col).collect()
@@ -1661,6 +1698,16 @@ def cosine_topk_pq_rerank(
     table never shuffles; scoring and the final top-k window run on
     candidate-sized data."""
     embeddings = nonzero_norm(embeddings, vec_col)
+    if codebook is None:
+        # Seed over the nz-filtered frame WITHOUT the all-16-ids
+        # existence demand: a zero-norm seed id just shrinks the
+        # codebook, exactly like a SQL seed CTE over the filtered
+        # table (the ann_pq_rerank oracle's cb-over-nz semantics).
+        codebook = pq_seed_codebook(
+            embeddings, n_sub, k_codes, id_col, vec_col, allow_missing=True
+        )
+    if not codebook:
+        return _empty_topk(embeddings, id_col, "cos_sim double")
     cand = cosine_topk_pq_adc(
         embeddings, query_filter, shortlist, n_sub, k_codes, id_col, vec_col,
         codebook,

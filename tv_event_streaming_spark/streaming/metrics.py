@@ -271,7 +271,12 @@ def error_bursts(
             ts_list.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
         for t_us in sorted(ts_list):
             if last_us is not None and t_us - last_us <= gap_us:
-                last_us, n = t_us, n + 1
+                # A later batch can deliver an event OLDER than the
+                # stored last_us (no watermark upstream): count it into
+                # the open burst but never move last_us backwards —
+                # otherwise burst_end shrinks and subsequent gap checks
+                # run against a corrupted anchor.
+                last_us, n = max(last_us, t_us), n + 1
             else:
                 close()
                 start_us, last_us, n = t_us, t_us, 1
