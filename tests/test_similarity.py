@@ -456,3 +456,61 @@ def test_ivfpq_recall_close_to_full_pq_rerank(spark, sf_dir):
     b = sorted(tuple(r) for r in unpruned.collect())
     assert a == b
     spark.catalog.clearCache()
+
+
+def test_pq_rerank_tolerates_zero_norm_seed(spark, sf_dir):
+    """A zero-norm vector among the seed ids 0..15 must SHRINK the
+    rerank codebook (the oracle's seed-CTE-over-nz semantics), not
+    raise — crash-vs-result divergence on degenerate input was a
+    review finding. The zeroed id disappears from queries and
+    neighbors (zero vectors are unrankable under cosine)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    zeroed = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") == 3, F.transform("embedding", lambda x: x * F.lit(0.0))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    topk = S.cosine_topk_pq_rerank(zeroed, F.col("vec_id") < 5, k=3)
+    rows = topk.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 4}
+    assert all(r.neighbor_id != 3 for r in rows)
+    spark.catalog.clearCache()
+
+
+def test_pq_rerank_all_seeds_zero_norm_is_empty(spark, sf_dir):
+    """All 16 seed ids zero-norm -> empty codebook -> empty result with
+    the contract schema, matching a SQL plan whose seed CTE is empty."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    zeroed = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") < 16, F.transform("embedding", lambda x: x * F.lit(0.0))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    topk = S.cosine_topk_pq_rerank(zeroed, F.col("vec_id") < 5, k=3)
+    assert topk.count() == 0
+    assert [f.name for f in topk.schema.fields] == [
+        "query_id", "neighbor_id", "rank", "cos_sim",
+    ]
+    spark.catalog.clearCache()
+
+
+def test_pq_adc_accepts_prebuilt_index(spark, sf_dir):
+    """Passing a prebuilt pq_index must give the identical result and
+    let looping callers control the persist lifecycle (review finding:
+    every adc call persisted a fresh code table)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    idx = S.pq_index(emb)
+    qf = F.col("vec_id") < 5
+    with_idx = sorted(
+        tuple(r) for r in S.cosine_topk_pq_adc(emb, qf, k=5, index=idx).collect()
+    )
+    without = sorted(
+        tuple(r) for r in S.cosine_topk_pq_adc(emb, qf, k=5).collect()
+    )
+    assert with_idx == without
+    idx.unpersist()
+    spark.catalog.clearCache()

@@ -285,3 +285,50 @@ def test_error_bursts_batch_twin_semantics(spark):
         for r in error_bursts_batch(df, gap_minutes=10, min_count=2).collect()
     }
     assert got == {(1, mk(0), mk(15), 3)}
+
+
+def test_error_bursts_out_of_order_never_shrinks_burst_end(spark, tmp_path):
+    """A later micro-batch delivering an event OLDER than the open
+    burst's last timestamp must merge WITHOUT moving the burst anchor
+    backwards (review finding: last_us regressed, corrupting burst_end
+    and subsequent gap checks). Batch 1: errors at t=0,5,8 min (open
+    burst, last=8). Batch 2: t=6 (late) then t=30 (gap 22 > 10 closes
+    the burst). Correct emission: end=8min, n=4 — a regressed anchor
+    would report end=6min."""
+    import datetime
+    import time
+
+    from tv_event_streaming_spark.streaming.metrics import error_bursts
+
+    t0 = datetime.datetime(2024, 1, 1)
+    mk = lambda mins: t0 + datetime.timedelta(minutes=mins)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "src")
+    batch1 = [(i, mk(m), 1, "error", None, None) for i, m in enumerate([0, 5, 8])]
+    batch2 = [(10, mk(6), 1, "error", None, None), (11, mk(30), 1, "error", None, None)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # file mtime orders the micro-batches
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        error_bursts(stream, gap_minutes=10, min_count=2)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.burst_start, r.burst_end, r.n_errors)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {(1, mk(0), mk(8), 4)}, got
