@@ -17,7 +17,7 @@ import datetime
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from tv_event_streaming_spark.operators.analytics import EVENT_TYPES
@@ -45,6 +45,8 @@ FUZZ_ENTRIES = [
     "daily_event_unpivot",
     "sliding_metrics_batch",
     "error_bursts_batch",
+    "running_totals_batch",
+    "session_metrics_batch",
     "user_value_deciles",
     "value_percentiles",
     "funnel_stages",
@@ -100,7 +102,9 @@ def _write_events(rows, tmpdir) -> str:
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
-@given(rows=st.lists(_row, min_size=1, max_size=60))
+@given(rows=st.lists(_row, min_size=0, max_size=60))
+@example(rows=[])  # the empty-stream case runs on EVERY sweep: all
+# twins must agree with their oracle on a zero-row events table
 def test_entries_match_oracle_on_random_events(spark, tmp_path_factory, rows):
     import duckdb  # noqa: PLC0415
 
