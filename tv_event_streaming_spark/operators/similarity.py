@@ -1920,3 +1920,92 @@ def cosine_topk_ivfpq(
             "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ (permutation variant): balance per-subspace variance before PQ.
+# Reference shape: faiss OPQMatrix / IndexPreTransform over IndexIVFPQ;
+# algorithm: the dimension-permutation baseline of Ge et al.,
+# "Optimized Product Quantization" (CVPR 2013) — deal dimensions into
+# subspaces in boustrophedon order of decreasing variance, so no
+# subspace hoards all the high-energy dimensions. The full OPQ learns a
+# dense rotation by alternating SVD; the permutation variant captures
+# most of the benefit on axis-aligned-skewed data, is exactly
+# reproducible in integer arithmetic on any engine (no SVD), and costs
+# one aggregation over the corpus.
+# ---------------------------------------------------------------------------
+
+
+def opq_permutation(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Variance-balancing dimension permutation: ``perm[new_pos] =
+    old_dim``. Per-dim variance is computed EXACTLY — quantized int64
+    components, sums accumulated as DECIMAL(38,0) (exact at any corpus
+    size), and the variance numerator ``n·Σq² − (Σq)²`` in Python
+    arbitrary-precision — so the ordering (variance DESC, dim ASC) is
+    bit-reproducible cross-engine (the SQL twin ranks the same HUGEINT
+    expression). One map-side-partial aggregation over the corpus
+    (64 groups); at 100 TB run it on a sample — the ordering, not the
+    values, is what matters."""
+    ex = embeddings.select(
+        F.posexplode(F.transform(F.col(vec_col), _q)).alias("dim", "q")
+    )
+    rows = ex.groupBy("dim").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("ss"),
+        F.count("*").alias("n"),
+    ).collect()
+    var = {int(r["dim"]): int(r["n"]) * int(r["ss"]) - int(r["s"]) ** 2 for r in rows}
+    dims = len(var)
+    if dims % n_sub:
+        raise ValueError(f"dims={dims} not divisible by n_sub={n_sub}")
+    sub_dim = dims // n_sub
+    order = sorted(var, key=lambda d: (-var[d], d))
+    perm: list[int] = [0] * dims
+    for r, d in enumerate(order):
+        block, pos = divmod(r, n_sub)
+        sub = pos if block % 2 == 0 else n_sub - 1 - pos
+        perm[sub * sub_dim + block] = d
+    return perm
+
+
+def apply_permutation(
+    embeddings: DataFrame, perm: list[int], vec_col: str = "embedding"
+) -> DataFrame:
+    """Reorder each vector's dimensions (the 'rotation' of
+    permutation-OPQ): pure map-side, 64 array getItems inside
+    whole-stage codegen. Permutations preserve dot products and norms,
+    so cosine results on permuted vectors are IDENTICAL to the
+    originals — only the PQ subspace decomposition (and hence code
+    quality) changes."""
+    permuted = F.array(*[F.col(vec_col).getItem(i) for i in perm])
+    return embeddings.withColumn(vec_col, permuted)
+
+
+def cosine_topk_pq_opq(
+    embeddings: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    shortlist: int = 50,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    perm: list[int] | None = None,
+) -> DataFrame:
+    """OPQ-composed PQ rerank: permute dimensions to balance subspace
+    variance, then run the standard encode → ADC shortlist → exact
+    rerank pipeline on the permuted space. Because permutation
+    preserves inner products, the exact rerank scores are unchanged —
+    OPQ moves RECALL (better codes → better shortlists) at zero extra
+    query cost. The permutation itself is 64 ints; everything else is
+    the audited PQ plan."""
+    if perm is None:
+        perm = opq_permutation(nonzero_norm(embeddings, vec_col), n_sub, vec_col)
+    rotated = apply_permutation(embeddings, perm, vec_col)
+    return cosine_topk_pq_rerank(
+        rotated, query_filter, k, shortlist, n_sub, k_codes, id_col, vec_col
+    )

