@@ -576,3 +576,125 @@ def test_opq_improves_trained_pq_recall_at_shortlist50(spark, sf_dir):
     assert r_opq >= r_plain, (r_opq, r_plain)
     assert r_opq >= 0.75, r_opq
     spark.catalog.clearCache()
+
+
+def test_ivfpq_residual_exhaustive_equals_bruteforce(spark, sf_dir):
+    """With nprobe=all cells and a shortlist covering the corpus, the
+    residual-code path degenerates to an exact scan: the final rerank
+    must EQUAL brute force — pins the residual encode/ADC/fetch
+    plumbing end-to-end (codes can't drop candidates when nothing is
+    pruned)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < 5
+    exact = sorted(
+        tuple(r) for r in S.cosine_topk_bruteforce(emb, qf, k=5).collect()
+    )
+    res = sorted(
+        tuple(r)
+        for r in S.cosine_topk_ivfpq_residual(
+            emb, qf, k=5, nprobe=16, shortlist=1_000_000
+        ).collect()
+    )
+    assert res == exact
+    spark.catalog.clearCache()
+
+
+def test_ivfpq_residual_beats_raw_codes_at_full_probe(spark, sf_dir):
+    """The by_residual claim, measured: at nprobe=all (cell pruning
+    off, code quality isolated) residual codes recall >= raw-vector
+    codes with the same seed-codebook budget (0.680 vs 0.656 measured
+    at shortlist=50)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < 25
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_bruteforce(emb, qf, k=5).collect()
+    }
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_ivfpq(emb, qf, k=5, nprobe=16, shortlist=50).collect()
+    }
+    res = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_ivfpq_residual(
+            emb, qf, k=5, nprobe=16, shortlist=50
+        ).collect()
+    }
+    r_plain = len(plain & truth) / len(truth)
+    r_res = len(res & truth) / len(truth)
+    assert r_res >= r_plain, (r_res, r_plain)
+    spark.catalog.clearCache()
+
+
+def test_ivfpq_residual_index_shape(spark, sf_dir):
+    """(id, cell, codes): one row per nonzero-norm vector, cells match
+    the shared seed assignment, codes are n_sub ints in [0, k_codes)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    idx = S.ivfpq_residual_index(emb, n_centroids=16, n_sub=8, k_codes=16)
+    rows = idx.collect()
+    assert len(rows) == S.nonzero_norm(emb).count()
+    assign = {
+        r[0]: r[2]
+        for r in S._seed_cell_assignment(emb, 16).collect()
+    }
+    for r in rows:
+        assert r.cell == assign[r.vec_id]
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+    idx.unpersist()
+    spark.catalog.clearCache()
+
+
+def test_ivfpq_residual_wins_on_two_level_structure(spark):
+    """The by_residual advantage, demonstrated where it provably
+    matters: 16 well-separated coarse clusters (the IVF cells), each
+    with 8 medium-scale sub-offsets; true neighbors share (cluster,
+    sub-offset). Raw-vector codewords only resolve cluster-level
+    structure, residual codewords live at sub-offset scale — measured
+    1.0 vs 0.936 recall@5. Also documents the seeding contract: ids
+    16..31 (disjoint from centroids; a centroid's own residual is
+    zero, and an all-zero codebook silently degenerates ADC to
+    per-cell constants)."""
+    def center(c, d):
+        return float(((c * 37 + d * 11) % 13) - 6)
+
+    def sub_off(s, d):
+        return float(((s * 19 + d * 5) % 7) - 3) * 0.5
+
+    def eps(i, d):
+        return float((((i * 13 + d * 7 + (i * i) % 11) % 9) - 4)) * 0.01
+
+    rows = []
+    vid = 0
+    for c in range(16):
+        rows.append(
+            (vid, [center(c, d) + sub_off(c % 8, d) + eps(vid, d) for d in range(64)])
+        )
+        vid += 1
+    for c in range(16):
+        for j in range(40):
+            rows.append(
+                (vid, [center(c, d) + sub_off(j % 8, d) + eps(vid, d) for d in range(64)])
+            )
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qf = F.col("vec_id").isin(list(range(40, 65)))
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_bruteforce(emb, qf, k=5).collect()
+    }
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_ivfpq(emb, qf, k=5, nprobe=16, shortlist=20).collect()
+    }
+    res = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_ivfpq_residual(
+            emb, qf, k=5, nprobe=16, shortlist=20
+        ).collect()
+    }
+    r_plain = len(plain & truth) / len(truth)
+    r_res = len(res & truth) / len(truth)
+    assert r_res > r_plain, (r_res, r_plain)
+    assert r_res >= 0.99, r_res
+    spark.catalog.clearCache()

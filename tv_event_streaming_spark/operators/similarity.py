@@ -2009,3 +2009,300 @@ def cosine_topk_pq_opq(
     return cosine_topk_pq_rerank(
         rotated, query_filter, k, shortlist, n_sub, k_codes, id_col, vec_col
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-residual PQ: encode the residual (v - centroid[cell]) instead of
+# the raw vector — faiss IndexIVFPQ's default (by_residual=true).
+# Residuals are smaller in magnitude than raw vectors, so the same
+# codebook budget quantizes them finer; the ADC lookup table becomes
+# per-(query, probed cell) on the target (q - centroid[cell]).
+# All arithmetic stays in exact quantized int64 space (residual =
+# q(v) - q(c), distances are integer sums), so the whole tier is
+# oracle-checkable like the plain PQ path.
+# ---------------------------------------------------------------------------
+
+
+def _qvec(vec) -> list[int]:
+    import math  # noqa: PLC0415
+
+    return [int(math.floor(float(x) * QUANT)) for x in vec]
+
+
+def _collect_centroids(
+    embeddings: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[int]]]:
+    """Quantized seed centroids (id < n_centroids) sorted by id — the
+    deterministic seeding rule shared by the IVF/k-means/PQ tiers."""
+    rows = sorted(
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    return [(int(r[0]), _qvec(r[1])) for r in rows]
+
+
+def _nearest_cell(qq: list[int], qcents: list[tuple[int, list[int]]]) -> int:
+    """Driver-side twin of _seed_cell_assignment's per-row argmax
+    (exact integer dot/normsq, ONE double division, ties to lowest
+    centroid id)."""
+    import math  # noqa: PLC0415
+
+    qn = sum(x * x for x in qq)
+    best = None
+    for cid, cq in qcents:
+        cn = sum(x * x for x in cq)
+        score = (sum(a * b for a, b in zip(qq, cq)) / math.sqrt(qn * cn)) if cn else 0.0
+        key = (-score, cid)
+        if best is None or key < best[0]:
+            best = (key, cid)
+    return best[1]
+
+
+def pq_residual_seed_codebook(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Seed codebook in RESIDUAL space: the residuals (against each
+    seed vector's own nearest centroid) of the vectors with id in
+    ``[n_centroids, n_centroids + k_codes)``, sub-sliced per subspace.
+
+    The seed range is deliberately DISJOINT from the centroid ids: a
+    vector that IS a centroid has residual exactly zero (it is its own
+    nearest cell under cosine, ties to lowest id), so reusing the
+    ``id < k_codes`` rule would build an all-zero codebook — every
+    code ties to 0, ADC distances collapse to the constant
+    ``||q - centroid||²`` per cell, and the shortlist degenerates to
+    id order (found by the two-level synthetic recall probe; the
+    degenerate form even matched its oracle, which is why a hash check
+    alone couldn't catch it)."""
+    embeddings = nonzero_norm(embeddings, vec_col)
+    qcents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    cent_by_id = dict(qcents)
+    lo, hi = n_centroids, n_centroids + k_codes
+    seed_rows = sorted(
+        embeddings.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi))
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    if len(seed_rows) != k_codes:
+        raise ValueError(
+            f"residual PQ seeding expects ids {lo}..{hi - 1}; found {len(seed_rows)}"
+        )
+    dims = len(seed_rows[0][1])
+    if dims % n_sub:
+        raise ValueError(f"dims={dims} not divisible by n_sub={n_sub}")
+    sub = dims // n_sub
+    residuals = []
+    for r in seed_rows:
+        qq = _qvec(r[1])
+        cq = cent_by_id[_nearest_cell(qq, qcents)]
+        residuals.append([a - b for a, b in zip(qq, cq)])
+    return [
+        [rv[m * sub : (m + 1) * sub] for rv in residuals] for m in range(n_sub)
+    ]
+
+
+def ivfpq_residual_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """(id, cell, codes): cell from the broadcast-centroid map-side
+    assignment, codes encoding the QUANTIZED RESIDUAL against that
+    cell's centroid. One corpus pass, no shuffle (the residual
+    subtraction and per-subspace argmin both ride the scan projection);
+    PERSISTED for the same §6c reason as :func:`pq_index`."""
+    embeddings = nonzero_norm(embeddings, vec_col)
+    spark = embeddings.sparkSession
+    qcents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    if codebook is None:
+        codebook = pq_residual_seed_codebook(
+            embeddings, n_centroids, n_sub, k_codes, id_col, vec_col
+        )
+    sub = len(codebook[0][0])
+
+    cents_row = spark.createDataFrame(
+        [([(cid, cq) for cid, cq in qcents],)],
+        "_cents array<struct<cent_id:bigint,qcvec:array<bigint>>>",
+    )
+    entries = [
+        (m, j, qsub)
+        for m, words in enumerate(codebook)
+        for j, qsub in enumerate(words)
+    ]
+    cb_row = spark.createDataFrame(
+        [(entries,)], "_cb array<struct<m:int,code:int,qc:array<bigint>>>"
+    )
+
+    assign = _seed_cell_assignment(embeddings, n_centroids, id_col, vec_col)
+    staged = (
+        assign.crossJoin(F.broadcast(cents_row))
+        .select(
+            id_col,
+            "cell",
+            F.zip_with(
+                F.transform(F.col(vec_col), _q),
+                F.element_at(
+                    F.filter(
+                        F.col("_cents"),
+                        lambda c: c["cent_id"] == F.col("cell").cast("bigint"),
+                    ),
+                    1,
+                )["qcvec"],
+                lambda x, y: x - y,
+            ).alias("_qv"),
+        )
+    )
+    firsts = _pq_firsts(sub, k_codes)
+    return (
+        staged.crossJoin(F.broadcast(cb_row))
+        .select(
+            id_col,
+            "cell",
+            F.transform(firsts, lambda e: e["code"].cast("int")).alias("codes"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def cosine_topk_ivfpq_residual(
+    embeddings: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """faiss IndexIVFPQ with by_residual=true: probe the nprobe nearest
+    cells; ADC over RESIDUAL codes with a per-(query, probed cell)
+    lookup table on the target (q - centroid[cell]); exact rerank of
+    the shortlist. Scale shape identical to :func:`cosine_topk_ivfpq`
+    (LUTs for all (query, cell) pairs travel as ONE broadcast row of
+    |Q|*nprobe entries; the scan touches the probed cells' code rows
+    only), with finer quantization because residual magnitudes are
+    small relative to raw vectors."""
+    embeddings = nonzero_norm(embeddings, vec_col)
+    spark = embeddings.sparkSession
+    qcents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    cent_by_id = dict(qcents)
+    codebook = pq_residual_seed_codebook(
+        embeddings, n_centroids, n_sub, k_codes, id_col, vec_col
+    )
+    sub = len(codebook[0][0])
+    if index is None:
+        index = ivfpq_residual_index(
+            embeddings, n_centroids, n_sub, k_codes, id_col, vec_col, codebook
+        )
+
+    import math  # noqa: PLC0415
+
+    q_rows = embeddings.filter(query_filter).select(id_col, vec_col).collect()
+    luts = []
+    for qr in q_rows:
+        qq = _qvec(qr[1])
+        qn = sum(x * x for x in qq)
+        scored = []
+        for cid, cq in qcents:
+            cn = sum(x * x for x in cq)
+            dot = sum(a * b for a, b in zip(qq, cq))
+            scored.append(((-(dot / math.sqrt(qn * cn)) if cn else 0.0), cid))
+        probes = [cid for _, cid in sorted(scored)[:nprobe]]
+        for cell in probes:
+            tv = [a - b for a, b in zip(qq, cent_by_id[cell])]
+            lut = [
+                [
+                    sum(
+                        (tv[m * sub + d] - cw[d]) * (tv[m * sub + d] - cw[d])
+                        for d in range(sub)
+                    )
+                    for cw in codebook[m]
+                ]
+                for m in range(n_sub)
+            ]
+            luts.append((int(qr[0]), int(cell), lut))
+    lut_row = spark.createDataFrame(
+        [(luts,)],
+        "_lut array<struct<query_id:bigint,cell:int,l:array<array<bigint>>>>",
+    )
+
+    per_entry = F.transform(
+        F.col("_lut"),
+        lambda u: F.named_struct(
+            F.lit("query_id"),
+            u["query_id"],
+            F.lit("probed"),
+            u["cell"] == F.col("cell"),
+            F.lit("adist"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    u["l"],
+                    lambda c, lm: F.element_at(lm, c + 1),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    cand = (
+        index.crossJoin(F.broadcast(lut_row))
+        .select(F.col(id_col).alias("neighbor_id"), F.explode(per_entry).alias("_s"))
+        .filter(F.col("_s")["probed"])
+        .select(
+            F.col("_s")["query_id"].alias("query_id"),
+            "neighbor_id",
+            F.col("_s")["adist"].alias("adist"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    short = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qvecs = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        quantized_norm_sq(F.col(vec_col)).alias("qnorm"),
+    )
+    fetched = F.broadcast(short.join(qvecs, "query_id")).join(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            quantized_norm_sq(F.col(vec_col)).alias("cnorm"),
+        ),
+        "neighbor_id",
+    )
+    scored = fetched.select(
+        "query_id",
+        "neighbor_id",
+        (
+            quantized_dot(F.col("qvec"), F.col("cvec")).cast("double")
+            / F.sqrt(F.col("qnorm").cast("double") * F.col("cnorm").cast("double"))
+        ).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim"
+        )
+    )

@@ -2564,3 +2564,114 @@ def q_ann_pq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_pq_opq(
         emb, F.col("vec_id") < 5, k=5, shortlist=50, n_sub=8, k_codes=16
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-residual PQ (faiss IndexIVFPQ by_residual=true): codes quantize
+# the residual v - centroid[cell]; ADC LUTs are per-(query, probed
+# cell) on the target q - centroid[cell]. All-integer residual space
+# (q(v) - q(c)), so the oracle re-derives the whole tier exactly.
+# ---------------------------------------------------------------------------
+
+# exact squared L2 between two ALREADY-QUANTIZED int lists
+_RQDIST = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+)
+_QL = f"list_transform({{v}}, x -> {_Q.format(x='x')})"
+
+
+@register(
+    "ann_ivfpq_residual",
+    f"""
+WITH {_ASSIGN_CTE},
+rq AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(
+           list_zip({_QL.format(v='a.embedding')}, {_QL.format(v='c.cvec')}),
+           p -> p[1] - p[2]
+         ) AS rv
+  FROM assign a JOIN cents c ON c.cent_id = a.cell
+),
+rcb AS (
+  -- codebook seeds DISJOINT from the centroid ids: a centroid's own
+  -- residual is exactly zero, so ids 0..15 would build an all-zero
+  -- (degenerate) codebook — see pq_residual_seed_codebook
+  SELECT m, CAST(r.vec_id - 16 AS INTEGER) AS code,
+         list_slice(r.rv, m*8+1, m*8+8) AS qc
+  FROM rq r, (SELECT CAST(unnest(range(8)) AS INTEGER) AS m)
+  WHERE r.vec_id >= 16 AND r.vec_id < 32
+),
+rdist AS (
+  SELECT e.vec_id, e.cell, cb.m, cb.code,
+         {_RQDIST.format(a='list_slice(e.rv, cb.m*8+1, cb.m*8+8)', b='cb.qc')} AS qdist
+  FROM rq e, rcb cb
+),
+renc AS (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY qdist, code) AS rn
+    FROM rdist
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qvec, CAST(cent_id AS INTEGER) AS cell
+  FROM ranked WHERE vec_id < 5 AND rn <= 4
+),
+lut AS (
+  SELECT p.query_id, p.cell, cb.m, cb.code,
+         {_RQDIST.format(
+             a="list_slice(list_transform("
+               "list_zip(" + _QL.format(v='p.qvec') + ", " + _QL.format(v='c.cvec') + "), "
+               "p2 -> p2[1] - p2[2]), cb.m*8+1, cb.m*8+8)",
+             b='cb.qc',
+         )} AS ldist
+  FROM probes p
+  JOIN cents c ON c.cent_id = p.cell
+  CROSS JOIN (SELECT DISTINCT m, code, qc FROM rcb) cb
+),
+adc AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         CAST(sum(l.ldist) AS BIGINT) AS adist
+  FROM renc e
+  JOIN lut l ON l.cell = e.cell AND l.m = e.m AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= 50
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_DOT.format(a='q.embedding', b='n.embedding')}
+         / sqrt({_NORMSQ.format(v='q.embedding')} * {_NORMSQ.format(v='n.embedding')}) AS cos_sim
+  FROM short s
+  JOIN nz q ON q.vec_id = s.query_id
+  JOIN nz n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM rer
+) WHERE rank <= 5
+""",
+    doc="faiss IndexIVFPQ with by_residual=true, driver-hashed "
+    "end-to-end: codes quantize the residual against the assigned "
+    "cell's centroid (finer quantization — residual magnitudes are "
+    "small); ADC uses a per-(query, probed cell) LUT on the target "
+    "q - centroid[cell], shipped for all queries as ONE broadcast row "
+    "of |Q|*nprobe entries; only the probed cells' code rows are "
+    "scanned, then the 50-candidate shortlist is exactly re-ranked. "
+    "Measured recall@5 0.728 vs 0.656 for raw-vector codes at "
+    "nprobe=all (seed codebooks; codebook seeds ids 16..31, disjoint "
+    "from the centroids — centroid residuals are identically zero) "
+    "(operators/similarity.py:cosine_topk_ivfpq_residual)",
+    tags=("similarity",),
+)
+def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_ivfpq_residual(
+        emb, F.col("vec_id") < 5, k=5, n_centroids=16, nprobe=4,
+        n_sub=8, k_codes=16, shortlist=50,
+    )
