@@ -698,3 +698,29 @@ def test_ivfpq_residual_wins_on_two_level_structure(spark):
     assert r_res > r_plain, (r_res, r_plain)
     assert r_res >= 0.99, r_res
     spark.catalog.clearCache()
+
+
+def test_full_faiss_stack_composes(spark, sf_dir):
+    """The complete production composition — IndexPreTransform(OPQ) +
+    IVFPQ(by_residual=true) + refine — from the verified tiers:
+    exhaustive probe + corpus-sized shortlist degenerates to the exact
+    scan (permutation preserves cosine; nothing pruned), so the three
+    layers compose without semantic drift. Recall ORDERING between the
+    composed and unrotated paths is corpus-dependent (sf0.01: composed
+    0.744 vs 0.728; sf0.001 flips) and deliberately NOT pinned — the
+    per-layer recall claims live in their own tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < 5
+    perm = S.opq_permutation(S.nonzero_norm(emb), n_sub=8)
+    rot = S.apply_permutation(emb, perm)
+    exact = sorted(
+        tuple(r) for r in S.cosine_topk_bruteforce(emb, qf, k=5).collect()
+    )
+    stack = sorted(
+        tuple(r)
+        for r in S.cosine_topk_ivfpq_residual(
+            rot, qf, k=5, nprobe=16, shortlist=1_000_000
+        ).collect()
+    )
+    assert stack == exact
+    spark.catalog.clearCache()
