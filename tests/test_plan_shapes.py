@@ -111,3 +111,23 @@ def test_map_side_entries_shuffle_at_most_once(spark, sf_dir, name):
     plan = plan_of(spark, name, sf_dir)
     assert n_exchanges(plan) <= 1, f"{name}: {n_exchanges(plan)} exchanges"
     spark.catalog.clearCache()
+
+
+def test_opq_rotate_stays_map_side(spark, sf_dir):
+    """The OPQ permutation is 64 getItems inside the scan projection:
+    ann_pq_opq must keep the ann_pq_rerank plan shape (no extra
+    exchange for the rotate) and the code index persisted."""
+    plan = plan_of(spark, "ann_pq_opq", sf_dir)
+    assert "InMemoryTableScan" in plan  # pq_index persist survives
+    assert n_exchanges(plan) <= 3  # adc top-k + rerank join/window only
+    spark.catalog.clearCache()
+
+
+def test_ivfpq_residual_scan_shape(spark, sf_dir):
+    """Residual ADC reads the persisted (id, cell, codes) index; the
+    residual subtraction and encode ride the build, not the query —
+    same exchange budget as the plain rerank path."""
+    plan = plan_of(spark, "ann_ivfpq_residual", sf_dir)
+    assert "InMemoryTableScan" in plan
+    assert n_exchanges(plan) <= 3
+    spark.catalog.clearCache()
