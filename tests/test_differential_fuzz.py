@@ -271,6 +271,11 @@ EMB_FUZZ_ENTRIES = [
     "ann_cosine_topk",
     "kmeans_update",
     "pq_encode",
+    # the OPQ permutation: per-dim variance TIES (sampled components
+    # repeat values across dims) must break identically on both
+    # engines (Python arbitrary-precision vs DuckDB HUGEINT, dim ASC)
+    "opq_map",
+    "ann_pq_opq",
 ]
 
 _component = st.one_of(
