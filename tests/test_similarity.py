@@ -724,3 +724,36 @@ def test_full_faiss_stack_composes(spark, sf_dir):
     )
     assert stack == exact
     spark.catalog.clearCache()
+
+
+def test_residual_training_does_not_hurt_recall(spark, sf_dir):
+    """pq_train_residual: the all-integer Lloyd loop in residual space
+    (faiss trains IVFPQ codebooks on residuals). Pinned: trained
+    codebook recall@5 >= seed codebook recall at full probe
+    (sf0.01 measured 0.760 vs 0.728), and the trainer is deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < 25
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_bruteforce(emb, qf, k=5).collect()
+    }
+    cb1 = S.pq_train_residual(emb, iters=2)
+    cb2 = S.pq_train_residual(emb, iters=2)
+    assert cb1 == cb2  # deterministic under any partitioning
+    seed = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_ivfpq_residual(
+            emb, qf, k=5, nprobe=16, shortlist=50
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_ivfpq_residual(
+            emb, qf, k=5, nprobe=16, shortlist=50, codebook=cb1
+        ).collect()
+    }
+    assert len(trained & truth) >= len(seed & truth), (
+        len(trained & truth), len(seed & truth),
+    )
+    spark.catalog.clearCache()

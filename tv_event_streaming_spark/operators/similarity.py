@@ -1391,9 +1391,29 @@ def pq_train(
     long before the corpus is exhausted (the standard faiss practice)."""
     codebook = pq_seed_codebook(embeddings, n_sub, k_codes, id_col, vec_col)
     staged = embeddings.select(F.transform(F.col(vec_col), _q).alias("_qv"))
+    return _pq_lloyd(staged, codebook, iters, k_codes)
+
+
+def _pq_lloyd(
+    staged: DataFrame,
+    codebook: list[list[list[int]]],
+    iters: int,
+    k_codes: int,
+) -> list[list[list[int]]]:
+    """The shared Lloyd loop over a staged quantized-vector frame
+    (``_qv`` int64 arrays) — raw vectors for :func:`pq_train`,
+    residuals for :func:`pq_train_residual`."""
+    spark = staged.sparkSession
+    n_sub = len(codebook)
+    sub = len(codebook[0][0])
     for _ in range(iters):
-        cb, sub = _pq_codebook_row(
-            embeddings, n_sub, k_codes, id_col, vec_col, codebook
+        entries = [
+            (m, j, qsub)
+            for m, words in enumerate(codebook)
+            for j, qsub in enumerate(words)
+        ]
+        cb = spark.createDataFrame(
+            [(entries,)], "_cb array<struct<m:int,code:int,qc:array<bigint>>>"
         )
         scored = F.transform(
             F.col("_cb"),
@@ -2109,6 +2129,65 @@ def pq_residual_seed_codebook(
     ]
 
 
+def _residual_staged(
+    embeddings: DataFrame,
+    n_centroids: int,
+    qcents: list[tuple[int, list[int]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cell, _qv): per-vector quantized RESIDUAL against its
+    assigned cell's centroid — the shared staging frame of the residual
+    index build and residual codebook training. Pure map-side (the
+    centroids travel as one broadcast row; the per-row centroid pick is
+    a 16-element array filter)."""
+    spark = embeddings.sparkSession
+    cents_row = spark.createDataFrame(
+        [([(cid, cq) for cid, cq in qcents],)],
+        "_cents array<struct<cent_id:bigint,qcvec:array<bigint>>>",
+    )
+    assign = _seed_cell_assignment(embeddings, n_centroids, id_col, vec_col)
+    return assign.crossJoin(F.broadcast(cents_row)).select(
+        id_col,
+        "cell",
+        F.zip_with(
+            F.transform(F.col(vec_col), _q),
+            F.element_at(
+                F.filter(
+                    F.col("_cents"),
+                    lambda c: c["cent_id"] == F.col("cell").cast("bigint"),
+                ),
+                1,
+            )["qcvec"],
+            lambda x, y: x - y,
+        ).alias("_qv"),
+    )
+
+
+def pq_train_residual(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Train the RESIDUAL codebook (faiss IndexIVFPQ trains its PQ on
+    residuals): the same all-integer per-subspace Lloyd loop as
+    :func:`pq_train`, run over the residual staging frame and seeded
+    from :func:`pq_residual_seed_codebook`. Pass the result as
+    ``codebook`` to :func:`ivfpq_residual_index` /
+    :func:`cosine_topk_ivfpq_residual`."""
+    embeddings = nonzero_norm(embeddings, vec_col)
+    qcents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    codebook = pq_residual_seed_codebook(
+        embeddings, n_centroids, n_sub, k_codes, id_col, vec_col
+    )
+    staged = _residual_staged(embeddings, n_centroids, qcents, id_col, vec_col)
+    return _pq_lloyd(staged, codebook, iters, k_codes)
+
+
 def ivfpq_residual_index(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -2132,10 +2211,6 @@ def ivfpq_residual_index(
         )
     sub = len(codebook[0][0])
 
-    cents_row = spark.createDataFrame(
-        [([(cid, cq) for cid, cq in qcents],)],
-        "_cents array<struct<cent_id:bigint,qcvec:array<bigint>>>",
-    )
     entries = [
         (m, j, qsub)
         for m, words in enumerate(codebook)
@@ -2145,25 +2220,7 @@ def ivfpq_residual_index(
         [(entries,)], "_cb array<struct<m:int,code:int,qc:array<bigint>>>"
     )
 
-    assign = _seed_cell_assignment(embeddings, n_centroids, id_col, vec_col)
-    staged = (
-        assign.crossJoin(F.broadcast(cents_row))
-        .select(
-            id_col,
-            "cell",
-            F.zip_with(
-                F.transform(F.col(vec_col), _q),
-                F.element_at(
-                    F.filter(
-                        F.col("_cents"),
-                        lambda c: c["cent_id"] == F.col("cell").cast("bigint"),
-                    ),
-                    1,
-                )["qcvec"],
-                lambda x, y: x - y,
-            ).alias("_qv"),
-        )
-    )
+    staged = _residual_staged(embeddings, n_centroids, qcents, id_col, vec_col)
     firsts = _pq_firsts(sub, k_codes)
     return (
         staged.crossJoin(F.broadcast(cb_row))
@@ -2188,6 +2245,7 @@ def cosine_topk_ivfpq_residual(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: DataFrame | None = None,
+    codebook: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """faiss IndexIVFPQ with by_residual=true: probe the nprobe nearest
     cells; ADC over RESIDUAL codes with a per-(query, probed cell)
@@ -2201,9 +2259,10 @@ def cosine_topk_ivfpq_residual(
     spark = embeddings.sparkSession
     qcents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
     cent_by_id = dict(qcents)
-    codebook = pq_residual_seed_codebook(
-        embeddings, n_centroids, n_sub, k_codes, id_col, vec_col
-    )
+    if codebook is None:
+        codebook = pq_residual_seed_codebook(
+            embeddings, n_centroids, n_sub, k_codes, id_col, vec_col
+        )
     sub = len(codebook[0][0])
     if index is None:
         index = ivfpq_residual_index(
