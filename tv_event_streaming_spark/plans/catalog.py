@@ -464,8 +464,13 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH numbered AS (
   SELECT user_id, ts,
+         -- STRICTLY-greater breaks, like sessionize and the streaming
+         -- session_window itself (Spark merges sessions whose bounds
+         -- TOUCH: an event exactly gap after the last one extends the
+         -- session — proven by the events fuzzer's 30:00-gap example;
+         -- '>=' here silently diverged on boundary-exact gaps)
          SUM(CASE WHEN prev_ts IS NULL
-                   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END)
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS session_id
   FROM (
