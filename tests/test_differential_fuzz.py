@@ -654,3 +654,72 @@ def test_reference_entries_match_oracle_on_random_domain(
             )
     finally:
         con.close()
+
+
+# second documents tier: the pair/fingerprint/tokenizer entries — LIMIT
+# tie-breaks, window-selection ties, gaps-and-islands arithmetic, BPE
+# on degenerate text, percentile cutoffs on tiny corpora. Excludes the
+# iterative/persisting composition entries (curation_pipeline*,
+# neardup_clusters, leakage_safe_splits, dedup_incremental) whose cost
+# per example would dominate the sweep.
+DOC_FUZZ_ENTRIES_2 = [
+    "minhash_signatures",
+    "simhash_signatures",
+    "ngram_jaccard_topk",
+    "ngram_containment_topk",
+    "winnow_fingerprints",
+    "winnow_overlap_topk",
+    "interdoc_ngram_overlap",
+    "shared_span_pairs",
+    "bpe_merge_step",
+    "bpe_apply",
+    "dsir_select",
+    "doc_embeddings_fh",
+    "docs_bow_cosine_topk",
+    "sequence_packing",
+    "sequence_packing_shuffled",
+    "length_bucketed_batches",
+    "percentile_length_gate",
+    "stratified_sample",
+    "top_terms_tfdf",
+    "redact_pii",
+    "mixture_plan",
+    "mixture_materialize",
+]
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_doc_row, min_size=1, max_size=25))
+def test_pair_tier_matches_oracle_on_random_documents(
+    spark, tmp_path_factory, rows
+):
+    import duckdb  # noqa: PLC0415
+
+    sf_dir = _write_documents(rows, tmp_path_factory.mktemp("docfuzz2"))
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        for name in DOC_FUZZ_ENTRIES_2:
+            entry = CATALOG[name]
+            spark_pdf = entry.build(spark, sf_dir).toPandas()
+            duck_pdf = con.execute(entry.oracle).fetchdf()
+            assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
+            assert len(spark_pdf) == len(duck_pdf), (
+                name,
+                len(spark_pdf),
+                len(duck_pdf),
+            )
+            a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+            assert a == b, (
+                name,
+                [(x, y) for x, y in zip(a, b) if x != y][:3],
+            )
+            spark.catalog.clearCache()
+    finally:
+        con.close()
