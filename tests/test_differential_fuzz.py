@@ -685,6 +685,12 @@ DOC_FUZZ_ENTRIES_2 = [
     "redact_pii",
     "mixture_plan",
     "mixture_materialize",
+    # the multimodal plumbing (Arrow mapInPandas over binary payloads):
+    # adversarial text → adversarial bytes; zero-row batches, empty
+    # payloads, multi-byte unicode must round-trip the Arrow boundary
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_frames",
 ]
 
 
