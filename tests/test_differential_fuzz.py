@@ -358,6 +358,111 @@ def test_similarity_entries_match_oracle_on_random_vectors(
         con.close()
 
 
+# second embeddings tier: the index-backed retrieval entries. Their
+# oracles embed the corpus layout as literals — centroid seeds are ids
+# 0..15, the residual codebook seeds ids 16..31 (disjoint: a
+# centroid's own residual is identically zero), queries ids 0..4 — so
+# this tier needs >= 32 generated (nonzero-norm) vectors before the
+# duplicate/zero tail. Covers every embeddings-only catalog entry not
+# in EMB_FUZZ_ENTRIES; knn_pagerank exercises the checkpointed
+# fixed-point loop per example (~3 s, priced in).
+EMB_FUZZ_ENTRIES_2 = [
+    "ann_cosine_ivf",
+    "ann_cosine_lsh",
+    "ann_cosine_lsh_multiprobe",
+    "ann_ivfpq_residual",
+    "ann_pq_adc",
+    "ann_pq_rerank",
+    "ann_recall_eval",
+    "embedding_neardup_topk",
+    "knn_graph",
+    "knn_pagerank",
+    "semantic_dedup",
+]
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(
+    # 32 fully-drawn vectors overflow hypothesis' generation buffer
+    # (999/1000 examples abort), so the seed corpus comes from a DRAWN
+    # PRNG seed; adversarial structure is injected via fully-drawn
+    # extra vectors, targeted component edits (quantization-grid edge
+    # values landing inside the seed region), and the dup/zero tail
+    seed=st.integers(0, 2**32 - 1),
+    extra=st.lists(_vec, min_size=0, max_size=3),
+    edits=st.lists(
+        st.tuples(st.integers(0, 31), st.integers(0, 63), _component),
+        max_size=8,
+    ),
+    dup_of=st.integers(0, 31),
+    n_zero=st.integers(0, 3),
+)
+def test_index_entries_match_oracle_on_random_vectors(
+    spark, tmp_path_factory, seed, extra, edits, dup_of, n_zero
+):
+    import duckdb  # noqa: PLC0415
+    import random  # noqa: PLC0415
+
+    rng = random.Random(seed)
+    vecs = [[rng.uniform(-2.0, 2.0) for _ in range(64)] for _ in range(32)]
+    for i, j, val in edits:
+        vecs[i][j] = val
+    for v in vecs:
+        # seed ids 0..31 must stay rankable (nonzero quantized norm)
+        if not any(abs(x) >= 1e-3 for x in v):
+            v[0] = 1.0
+    vecs += [list(v) for v in extra]
+    # same adversarial tail as tier 1: an exact duplicate (cosine ties
+    # at the rank boundary, bucket collisions in LSH/IVF cells) and
+    # unrankable all-zero / sub-grid vectors both engines must exclude
+    vecs = vecs + [list(vecs[dup_of])]
+    for i in range(n_zero):
+        vecs.append([0.0] * 64 if i % 2 == 0 else [4.9e-7] * 64)
+    tmpdir = tmp_path_factory.mktemp("embfuzz2")
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/embeddings.parquet")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmpdir}/embeddings.parquet')"
+        )
+        for name in EMB_FUZZ_ENTRIES_2:
+            entry = CATALOG[name]
+            spark_pdf = entry.build(spark, str(tmpdir)).toPandas()
+            duck_pdf = con.execute(entry.oracle).fetchdf()
+            assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
+            assert len(spark_pdf) == len(duck_pdf), (
+                name,
+                len(spark_pdf),
+                len(duck_pdf),
+            )
+            a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+            assert a == b, (
+                name,
+                [(x, y) for x, y in zip(a, b) if x != y][:3],
+            )
+            spark.catalog.clearCache()
+    finally:
+        con.close()
+
+
 # star-schema entries whose oracles touch ONLY these five tables are
 # fuzzed over generated mini-warehouses with adversarial structure:
 # dangling foreign keys, duplicate measure values (ties at the top-k
