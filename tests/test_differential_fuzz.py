@@ -50,6 +50,12 @@ FUZZ_ENTRIES = [
     "user_value_deciles",
     "value_percentiles",
     "funnel_stages",
+    # the scalar-function surface (json/interval/coalesce twins), the
+    # bounded range join, and the sketch-based profiler are all
+    # events-only readers too
+    "scalar_functions",
+    "events_error_context",
+    "table_profile",
 ]
 
 _BASE = datetime.datetime(2024, 1, 1)
@@ -71,11 +77,24 @@ _ts = st.one_of(
     ),
 )
 
+# props contract: VALID json, `k` numeric or null/absent (DuckDB's
+# json_extract_string RAISES on malformed json and on CAST of a
+# non-numeric extraction, where Spark's get_json_object yields NULL —
+# malformed props is outside the column's contract, like the corpus)
+_props = st.one_of(
+    st.just("{}"),
+    st.just("[1, 2]"),
+    st.just('{"k": null}'),
+    st.just('{"other": "x"}'),
+    st.integers(-5, 10**15).map(lambda n: '{"k": %d}' % n),
+)
+
 _row = st.tuples(
     _ts,
     st.integers(0, 3),  # few users => dense per-user sequences
     st.sampled_from(EVENT_TYPES),
     st.one_of(st.none(), st.floats(-100, 100, allow_nan=False, width=32)),
+    _props,
 )
 
 
@@ -90,7 +109,7 @@ def _write_events(rows, tmpdir) -> str:
                 [None if r[3] is None else float(r[3]) for r in rows],
                 pa.float64(),
             ),
-            "props": pa.array(["{}"] * len(rows), pa.string()),
+            "props": pa.array([r[4] for r in rows], pa.string()),
         }
     )
     pq.write_table(table, f"{tmpdir}/events.parquet")
@@ -463,12 +482,16 @@ def test_index_entries_match_oracle_on_random_vectors(
         con.close()
 
 
-# star-schema entries whose oracles touch ONLY these five tables are
+# star-schema entries whose oracles touch ONLY these seven tables are
 # fuzzed over generated mini-warehouses with adversarial structure:
-# dangling foreign keys, duplicate measure values (ties at the top-k
-# boundary), boundary order/ship dates sitting exactly on the
-# entries' predicate constants, zero discounts and 100% discounts
-TPCH_TABLES = ("orders", "lineitem", "customer", "nation", "region")
+# dangling foreign keys (orders, parts, AND suppliers), duplicate
+# measure values (ties at the top-k boundary), boundary order/ship
+# dates sitting exactly on the entries' predicate constants, zero
+# discounts and 100% discounts, p_size values straddling the IN-list
+# and p_type values straddling the LIKE patterns
+TPCH_TABLES = (
+    "orders", "lineitem", "customer", "nation", "region", "part", "supplier",
+)
 
 
 def _tpch_fuzzable():
@@ -501,6 +524,19 @@ _date = st.one_of(
     st.integers(0, 1000).map(
         lambda d: datetime.datetime(1995, 1, 1) + datetime.timedelta(days=d)
     ),
+    # events-era anchors shared with the events _ts strategy: order
+    # dates landing EXACTLY on event timestamps exercise the as-of
+    # join's at-or-before boundary (and its o_orderkey tie-break when
+    # two orders share the instant); without these the two time
+    # domains never collide and the boundary path goes untested
+    st.sampled_from(
+        [
+            _BASE,
+            _BASE + datetime.timedelta(minutes=30),
+            _BASE + datetime.timedelta(minutes=30, microseconds=1),
+            _BASE + datetime.timedelta(days=1),
+        ]
+    ),
 )
 
 _order = st.tuples(
@@ -522,6 +558,7 @@ _line = st.tuples(
     st.sampled_from(["A", "N", "R"]),
     st.sampled_from(["F", "O"]),
     _date,
+    st.integers(0, 4),  # suppkey, may dangle (suppliers are 0..3)
 )
 
 
@@ -534,6 +571,41 @@ def _write_tpch(tmpdir, orders, lines) -> str:
             }
         ),
         f"{tmpdir}/region.parquet",
+    )
+    # partkey 4 dangles (lineitem draws 1..4); sizes straddle the
+    # Q16 IN-list, types straddle PROMO/MEDIUM prefixes, tied prices
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([0, 1, 2, 3, 5], pa.int64()),
+                "p_name": pa.array(
+                    ["bolt", "nut", "nut", "washer", "screw"], pa.string()
+                ),
+                "p_brand": pa.array(["B1", "B1", "B2", "B2", "B1"], pa.string()),
+                "p_type": pa.array(
+                    ["PROMO", "MEDIUM POLISHED", "STANDARD", "PROMO", "MEDIUM"],
+                    pa.string(),
+                ),
+                "p_size": pa.array([1, 5, 9, 13, 2], pa.int32()),
+                "p_retailprice": pa.array(
+                    [9.99, 9.99, 100.0, 0.0, 55.5], pa.float64()
+                ),
+            }
+        ),
+        f"{tmpdir}/part.parquet",
+    )
+    # suppkey 4 dangles from lineitem; two suppliers share nation 0
+    # (the Q5 local-supplier predicate must group them correctly)
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([0, 1, 2, 3], pa.int64()),
+                "s_name": pa.array(["s0", "s1", "s2", "s3"], pa.string()),
+                "s_nationkey": pa.array([0, 1, 2, 0], pa.int32()),
+                "s_acctbal": pa.array([0.0, 5.5, 5.5, -1.0], pa.float64()),
+            }
+        ),
+        f"{tmpdir}/supplier.parquet",
     )
     pq.write_table(
         pa.table(
@@ -579,7 +651,7 @@ def _write_tpch(tmpdir, orders, lines) -> str:
             {
                 "l_orderkey": pa.array([ln[0] for ln in lines], pa.int64()),
                 "l_partkey": pa.array([ln[1] for ln in lines], pa.int64()),
-                "l_suppkey": pa.array([1] * len(lines), pa.int64()),
+                "l_suppkey": pa.array([ln[9] for ln in lines], pa.int64()),
                 "l_linenumber": pa.array(range(len(lines)), pa.int32()),
                 "l_quantity": pa.array([ln[2] for ln in lines], pa.float64()),
                 "l_extendedprice": pa.array([ln[3] for ln in lines], pa.float64()),
@@ -603,20 +675,30 @@ def _write_tpch(tmpdir, orders, lines) -> str:
 @given(
     orders=st.lists(_order, min_size=1, max_size=25),
     lines=st.lists(_line, min_size=1, max_size=50),
+    events=st.lists(_row, min_size=0, max_size=40),
 )
 def test_tpch_entries_match_oracle_on_random_warehouse(
-    spark, tmp_path_factory, orders, lines
+    spark, tmp_path_factory, orders, lines, events
 ):
     import duckdb  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
 
     sf_dir = _write_tpch(tmp_path_factory.mktemp("tpchfuzz"), orders, lines)
+    # a generated events table joins the warehouse so the cross-table
+    # entries run here too: events_asof_order (as-of boundary ties —
+    # an order EXACTLY at an event's ts must win over an earlier one)
+    # and table_summary (documents/embeddings copied static; only the
+    # warehouse + events vary)
+    _write_events(events, sf_dir)
+    for t in ("documents", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{sf_dir}/{t}.parquet")
     con = duckdb.connect()
     try:
-        for t in TPCH_TABLES:
+        for t in TPCH_TABLES + ("events", "documents", "embeddings"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
-        for name in _tpch_fuzzable():
+        for name in _tpch_fuzzable() + ["events_asof_order", "table_summary"]:
             entry = CATALOG[name]
             spark_pdf = entry.build(spark, sf_dir).toPandas()
             duck_pdf = con.execute(entry.oracle).fetchdf()
@@ -763,13 +845,17 @@ def test_reference_entries_match_oracle_on_random_domain(
 
 # second documents tier: the pair/fingerprint/tokenizer entries — LIMIT
 # tie-breaks, window-selection ties, gaps-and-islands arithmetic, BPE
-# on degenerate text, percentile cutoffs on tiny corpora. Excludes the
+# on degenerate text, percentile cutoffs on tiny corpora. The
 # iterative/persisting composition entries (curation_pipeline*,
-# neardup_clusters, leakage_safe_splits, dedup_incremental) whose cost
-# per example would dominate the sweep.
+# neardup_clusters, leakage_safe_splits, dedup_incremental) get their
+# own reduced-example tier below — cost per example would dominate
+# this sweep.
 DOC_FUZZ_ENTRIES_2 = [
     "minhash_signatures",
+    "minhash_neardup",
     "simhash_signatures",
+    "simhash_neardup",
+    "decontaminate",
     "ngram_jaccard_topk",
     "ngram_containment_topk",
     "winnow_fingerprints",
@@ -817,6 +903,58 @@ def test_pair_tier_matches_oracle_on_random_documents(
             f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
         )
         for name in DOC_FUZZ_ENTRIES_2:
+            entry = CATALOG[name]
+            spark_pdf = entry.build(spark, sf_dir).toPandas()
+            duck_pdf = con.execute(entry.oracle).fetchdf()
+            assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
+            assert len(spark_pdf) == len(duck_pdf), (
+                name,
+                len(spark_pdf),
+                len(duck_pdf),
+            )
+            a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+            assert a == b, (
+                name,
+                [(x, y) for x, y in zip(a, b) if x != y][:3],
+            )
+            spark.catalog.clearCache()
+    finally:
+        con.close()
+
+# third documents tier: the iterative/persisting COMPOSITION entries
+# (gate → dedup → LSH → connected components → splits; cross-snapshot
+# incremental dedup). Each example costs seconds (persist barriers +
+# the checkpointed CC loop), so this tier runs at a reduced example
+# count — composition bugs are cross-operator (a tie broken
+# differently upstream flips which doc survives downstream), which no
+# single-operator tier can catch.
+DOC_FUZZ_ENTRIES_3 = [
+    "curation_pipeline",
+    "curation_pipeline_neardup",
+    "neardup_clusters",
+    "leakage_safe_splits",
+    "dedup_incremental",
+]
+
+
+@settings(
+    max_examples=max(2, _EXAMPLES // 3),
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_doc_row, min_size=1, max_size=20))
+def test_composition_entries_match_oracle_on_random_documents(
+    spark, tmp_path_factory, rows
+):
+    import duckdb  # noqa: PLC0415
+
+    sf_dir = _write_documents(rows, tmp_path_factory.mktemp("docfuzz3"))
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        for name in DOC_FUZZ_ENTRIES_3:
             entry = CATALOG[name]
             spark_pdf = entry.build(spark, sf_dir).toPandas()
             duck_pdf = con.execute(entry.oracle).fetchdf()

@@ -181,13 +181,16 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
                           THEN l_extendedprice * (1 - l_discount)
                           ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
-       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+       / NULLIF(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 0)
        * 100.0 AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-09-01'
 """,
     doc="TPC-H Q14 shape — fact⋈dim with conditional numerator/denominator; "
-    "part broadcasts, the ratio divides two exact decimal sums once.",
+    "part broadcasts, the ratio divides two exact decimal sums once. "
+    "promo_pct is NULL when the window's revenue is zero (all-discounted "
+    "rows; fuzz-found: ANSI double division raises where DuckDB gives "
+    "NaN — both sides pin NULL via try_divide/NULLIF).",
     tags=("join", "agg", "bench"),
 )
 def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,12 +203,14 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     return joined.agg(
         (
-            F.sum(
-                F.when(F.col("p_type") == "PROMO", disc)
-                .otherwise(F.lit(0))
-                .cast("decimal(18,6)")
-            ).cast("double")
-            / F.sum(disc.cast("decimal(18,6)")).cast("double")
+            F.try_divide(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc)
+                    .otherwise(F.lit(0))
+                    .cast("decimal(18,6)")
+                ).cast("double"),
+                F.sum(disc.cast("decimal(18,6)")).cast("double"),
+            )
             * 100.0
         ).alias("promo_pct")
     )
