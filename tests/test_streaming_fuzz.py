@@ -1,0 +1,212 @@
+"""Differential fuzzing of the REAL Structured Streaming execution.
+
+The events fuzz family checks the stateful operators' BATCH twins
+against the DuckDB oracle; this file drives the actual streaming
+queries — availableNow file streams split into three event-time-ordered
+micro-batches, watermarks advancing between them, the state store
+merging sessions/bursts across batch boundaries — over the same
+adversarial random tables (threshold-exact gaps, same-instant
+duplicates split ACROSS micro-batches, empty batches, empty streams),
+and pins the repo's stream/batch agreement contracts on every example:
+
+- windowed/sliding metrics: emissions are unique, every emitted row
+  agrees with the batch twin, and every watermark-closed window was
+  emitted (exactly-once materialization);
+- session/burst operators: every closed session/burst the stream emits
+  appears verbatim in the batch gaps-and-islands twin (stream ⊆ batch
+  — the open tail legitimately stays in state);
+- running totals: the final emitted state per user equals the batch
+  aggregate exactly (count) / to float-sum tolerance (value).
+
+Arrival order tracks event time (rows sorted by ts before chunking), as
+the operators' documented contract requires — late-data DROP behavior
+is covered by the watermark tests in test_streaming_metrics.py.
+
+Each example starts five real streaming queries, so this tier runs at
+a reduced example count like the composition tier.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from .test_differential_fuzz import _row
+
+_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES", "4"))
+
+
+def _write_stream_chunks(rows, tmpdir) -> str:
+    """The random events table as a 3-file stream source, arrival order
+    tracking event time: rows sorted by ts, split into thirds BY INDEX —
+    so a run of same-instant duplicates can straddle a micro-batch
+    boundary, which is exactly the state-merge case worth fuzzing."""
+    src = f"{tmpdir}/src"
+    os.makedirs(src, exist_ok=True)
+    ordered = sorted(enumerate(rows), key=lambda ir: (ir[1][0], ir[0]))
+    k = len(ordered)
+    chunks = [ordered[: k // 3], ordered[k // 3 : 2 * k // 3], ordered[2 * k // 3 :]]
+    for ci, chunk in enumerate(chunks):
+        table = pa.table(
+            {
+                "event_id": pa.array([i for i, _ in chunk], pa.int64()),
+                "ts": pa.array([r[0] for _, r in chunk], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for _, r in chunk], pa.int64()),
+                "event_type": pa.array([r[2] for _, r in chunk], pa.string()),
+                "value": pa.array(
+                    [None if r[3] is None else float(r[3]) for _, r in chunk],
+                    pa.float64(),
+                ),
+                "props": pa.array([r[4] for _, r in chunk], pa.string()),
+            }
+        )
+        pq.write_table(table, f"{src}/chunk_{ci}.parquet")
+    return src
+
+
+def _read_stream(spark, src_dir):
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def _drain(stream_df, sink, ckpt, timeout=180):
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout), "stream did not drain in time"
+
+
+@settings(
+    max_examples=max(2, _EXAMPLES // 3),
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_row, min_size=0, max_size=50))
+@example(rows=[])  # the empty stream must drain cleanly and emit nothing
+def test_streaming_matches_batch_on_random_events(spark, tmp_path_factory, rows):
+    from tv_event_streaming_spark.operators.analytics import sessionize
+    from tv_event_streaming_spark.streaming.metrics import (
+        error_bursts,
+        error_bursts_batch,
+        running_user_totals,
+        session_metrics,
+        sliding_metrics,
+        windowed_metrics,
+    )
+
+    tmpdir = str(tmp_path_factory.mktemp("streamfuzz"))
+    src = _write_stream_chunks(rows, tmpdir)
+    batch_events = spark.read.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).parquet(src)
+
+    # explicit sink schemas: an all-empty stream writes no data files,
+    # and schemaless parquet reads on such sinks cannot infer
+    _WIN_SCHEMA = (
+        "window_start timestamp, window_end timestamp, event_type string, "
+        "invocations bigint, errors bigint, successes bigint"
+    )
+
+    # -- tumbling windows: unique, batch-consistent, closed ⇒ emitted --
+    sink, ckpt = f"{tmpdir}/win_sink", f"{tmpdir}/win_ckpt"
+    _drain(windowed_metrics(_read_stream(spark, src)), sink, ckpt)
+    emitted = [tuple(r) for r in spark.read.schema(_WIN_SCHEMA).parquet(sink).collect()]
+    batch_all = {tuple(r) for r in windowed_metrics(batch_events).collect()}
+    assert len(emitted) == len(set(emitted)), "duplicate window emissions"
+    assert set(emitted) <= batch_all, sorted(set(emitted) - batch_all)[:3]
+    if rows:
+        max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+        closed = {
+            tuple(r)
+            for r in windowed_metrics(batch_events)
+            .filter(F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
+            .collect()
+        }
+        assert closed <= set(emitted), "watermark-closed windows missing"
+
+    # -- sliding windows: emitted ⊆ batch --
+    sink, ckpt = f"{tmpdir}/sli_sink", f"{tmpdir}/sli_ckpt"
+    _drain(sliding_metrics(_read_stream(spark, src)), sink, ckpt)
+    got = {tuple(r) for r in spark.read.schema(_WIN_SCHEMA).parquet(sink).collect()}
+    batch = {tuple(r) for r in sliding_metrics(batch_events).collect()}
+    assert got <= batch, sorted(got - batch)[:3]
+
+    # -- session windows: closed sessions ⊆ batch sessionization --
+    sink, ckpt = f"{tmpdir}/ses_sink", f"{tmpdir}/ses_ckpt"
+    _drain(session_metrics(_read_stream(spark, src)), sink, ckpt)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.schema(
+            "user_id bigint, session_start timestamp, "
+            "session_end timestamp, n_events bigint"
+        ).parquet(sink).collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(batch_events).collect()
+    }
+    assert got <= batch, sorted(got - batch)[:3]
+
+    # -- CEP bursts: closed bursts ⊆ batch gaps-and-islands twin --
+    sink, ckpt = f"{tmpdir}/bur_sink", f"{tmpdir}/bur_ckpt"
+    _drain(error_bursts(_read_stream(spark, src)), sink, ckpt)
+    got = {
+        (r.user_id, r.burst_start, r.burst_end, r.n_errors)
+        for r in spark.read.schema(
+            "user_id bigint, burst_start timestamp, "
+            "burst_end timestamp, n_errors bigint"
+        ).parquet(sink).collect()
+    }
+    batch = {
+        (r.user_id, r.burst_start, r.burst_end, r.n_errors)
+        for r in error_bursts_batch(batch_events).collect()
+    }
+    assert got <= batch, sorted(got - batch)[:3]
+
+    # -- running totals: final per-user state == batch aggregate --
+    sink, ckpt = f"{tmpdir}/tot_sink", f"{tmpdir}/tot_ckpt"
+    _drain(running_user_totals(_read_stream(spark, src)), sink, ckpt)
+    log = spark.read.schema(
+        "user_id bigint, n_events bigint, total_value double"
+    ).parquet(sink)
+    # n_events strictly increases per emission for a user, so the row
+    # with the max count IS the final state (value may DECREASE when
+    # negative values arrive — max(total_value) would be wrong here)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    batch_tot = batch_events.groupBy("user_id").agg(
+        F.count("*").alias("bn"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("bv"),
+    )
+    joined = final.join(batch_tot, "user_id", "full_outer")
+    bad = joined.filter(
+        F.col("n_events").isNull()
+        | F.col("bn").isNull()
+        | (F.col("n_events") != F.col("bn"))
+        | (F.abs(F.col("total_value") - F.col("bv")) > 1e-6)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
