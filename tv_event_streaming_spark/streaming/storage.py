@@ -115,7 +115,13 @@ class KeyedTable:
         return self.spark.read.schema(self._changes_schema()).parquet(self.changes_dir)
 
     def stream_changes(self) -> DataFrame:
-        """The CDC source (S10): tail the change journal as a stream."""
+        """The CDC source (S10): tail the change journal as a stream.
+
+        The journal directory is created if absent so a CDC consumer can
+        start BEFORE the first write lands (fuzz-found: a file-source
+        stream over a missing path raises PATH_NOT_FOUND at plan time,
+        crashing an enrichment service deployed ahead of its producer)."""
+        os.makedirs(self.changes_dir, exist_ok=True)
         return (
             self.spark.readStream.schema(self._changes_schema())
             .option("maxFilesPerTrigger", 16)
