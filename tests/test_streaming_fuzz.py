@@ -41,14 +41,20 @@ from .test_differential_fuzz import _row
 _EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES", "4"))
 
 
-def _write_stream_chunks(rows, tmpdir) -> str:
-    """The random events table as a 3-file stream source, arrival order
-    tracking event time: rows sorted by ts, split into thirds BY INDEX —
-    so a run of same-instant duplicates can straddle a micro-batch
-    boundary, which is exactly the state-merge case worth fuzzing."""
+def _write_stream_chunks(rows, tmpdir, sort_by_time=True) -> str:
+    """The random events table as a 3-file stream source, split into
+    thirds BY INDEX. With ``sort_by_time`` arrival order tracks event
+    time — so a run of same-instant duplicates can straddle a
+    micro-batch boundary, exactly the state-merge case worth fuzzing;
+    without it, later micro-batches deliver events OLDER than the
+    advanced watermark (the at-least-once bus reordering case)."""
     src = f"{tmpdir}/src"
     os.makedirs(src, exist_ok=True)
-    ordered = sorted(enumerate(rows), key=lambda ir: (ir[1][0], ir[0]))
+    ordered = (
+        sorted(enumerate(rows), key=lambda ir: (ir[1][0], ir[0]))
+        if sort_by_time
+        else list(enumerate(rows))
+    )
     k = len(ordered)
     chunks = [ordered[: k // 3], ordered[k // 3 : 2 * k // 3], ordered[2 * k // 3 :]]
     for ci, chunk in enumerate(chunks):
@@ -190,6 +196,113 @@ def test_streaming_matches_batch_on_random_events(spark, tmp_path_factory, rows)
     # n_events strictly increases per emission for a user, so the row
     # with the max count IS the final state (value may DECREASE when
     # negative values arrive — max(total_value) would be wrong here)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    batch_tot = batch_events.groupBy("user_id").agg(
+        F.count("*").alias("bn"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("bv"),
+    )
+    joined = final.join(batch_tot, "user_id", "full_outer")
+    bad = joined.filter(
+        F.col("n_events").isNull()
+        | F.col("bn").isNull()
+        | (F.col("n_events") != F.col("bn"))
+        | (F.abs(F.col("total_value") - F.col("bv")) > 1e-6)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+
+@settings(
+    max_examples=max(2, _EXAMPLES // 3),
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_row, min_size=0, max_size=50))
+def test_streaming_survives_out_of_order_arrival(spark, tmp_path_factory, rows):
+    """Arrival order ≠ event time (micro-batches split by ORIGINAL
+    index): later batches deliver events older than the advanced
+    watermark. The strong stream==batch claims no longer apply — the
+    contracts that DO survive reordering, pinned here on every example:
+
+    - every query drains without crashing (the ADVICE-#5 clamp: an
+      out-of-order error event merges into the open burst without
+      moving burst_end backwards);
+    - window emissions stay exactly-once per (window, event_type) key;
+    - per-user bursts and sessions are well-formed (end ≥ start,
+      count ≥ min) and non-overlapping — a late event can only merge
+      into open state, never conjure an overlapping run;
+    - running totals reach FULL batch equality: counts and sums are
+      arrival-order-independent, so reordering must not change them.
+    """
+    from tv_event_streaming_spark.streaming.metrics import (
+        error_bursts,
+        running_user_totals,
+        session_metrics,
+        windowed_metrics,
+    )
+
+    tmpdir = str(tmp_path_factory.mktemp("streamfuzz_ooo"))
+    src = _write_stream_chunks(rows, tmpdir, sort_by_time=False)
+    batch_events = spark.read.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).parquet(src)
+
+    _WIN_SCHEMA = (
+        "window_start timestamp, window_end timestamp, event_type string, "
+        "invocations bigint, errors bigint, successes bigint"
+    )
+
+    # -- tumbling windows: drained + exactly-once per window key --
+    sink, ckpt = f"{tmpdir}/win_sink", f"{tmpdir}/win_ckpt"
+    _drain(windowed_metrics(_read_stream(spark, src)), sink, ckpt)
+    win = spark.read.schema(_WIN_SCHEMA).parquet(sink).collect()
+    keys = [(r.window_start, r.event_type) for r in win]
+    assert len(keys) == len(set(keys)), "window emitted twice under reordering"
+
+    # -- sessions: well-formed, non-overlapping per user --
+    sink, ckpt = f"{tmpdir}/ses_sink", f"{tmpdir}/ses_ckpt"
+    _drain(session_metrics(_read_stream(spark, src)), sink, ckpt)
+    ses = spark.read.schema(
+        "user_id bigint, session_start timestamp, "
+        "session_end timestamp, n_events bigint"
+    ).parquet(sink).collect()
+    by_user = {}
+    for r in ses:
+        assert r.session_end >= r.session_start and r.n_events >= 1, r
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 <= s2, ("overlapping sessions", spans)
+
+    # -- bursts: well-formed, non-overlapping per user --
+    sink, ckpt = f"{tmpdir}/bur_sink", f"{tmpdir}/bur_ckpt"
+    _drain(error_bursts(_read_stream(spark, src)), sink, ckpt)
+    bur = spark.read.schema(
+        "user_id bigint, burst_start timestamp, "
+        "burst_end timestamp, n_errors bigint"
+    ).parquet(sink).collect()
+    by_user = {}
+    for r in bur:
+        assert r.burst_end >= r.burst_start and r.n_errors >= 3, r
+        by_user.setdefault(r.user_id, []).append((r.burst_start, r.burst_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 <= s2, ("overlapping bursts", spans)
+
+    # -- running totals: order-independent, so FULL equality holds --
+    sink, ckpt = f"{tmpdir}/tot_sink", f"{tmpdir}/tot_ckpt"
+    _drain(running_user_totals(_read_stream(spark, src)), sink, ckpt)
+    log = spark.read.schema(
+        "user_id bigint, n_events bigint, total_value double"
+    ).parquet(sink)
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
