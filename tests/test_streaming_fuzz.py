@@ -99,6 +99,39 @@ def _drain(stream_df, sink, ckpt, timeout=180):
     assert q.awaitTermination(timeout), "stream did not drain in time"
 
 
+def _check_running_totals(spark, sink, batch_events):
+    """The final emitted state per user must equal the batch aggregate:
+    counts exactly, value sums to float-addition-order tolerance.
+    Counts and sums are arrival-order-independent, so this holds for
+    BOTH the event-time-ordered and the reordered arrival tests."""
+    from pyspark.sql import Window
+
+    log = spark.read.schema(
+        "user_id bigint, n_events bigint, total_value double"
+    ).parquet(sink)
+    # n_events strictly increases per emission for a user, so the row
+    # with the max count IS the final state (value may DECREASE when
+    # negative values arrive — max(total_value) would be wrong here)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    batch_tot = batch_events.groupBy("user_id").agg(
+        F.count("*").alias("bn"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("bv"),
+    )
+    joined = final.join(batch_tot, "user_id", "full_outer")
+    bad = joined.filter(
+        F.col("n_events").isNull()
+        | F.col("bn").isNull()
+        | (F.col("n_events") != F.col("bn"))
+        | (F.abs(F.col("total_value") - F.col("bv")) > 1e-6)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
 @settings(
     max_examples=max(2, _EXAMPLES // 3),
     deadline=None,
@@ -139,13 +172,13 @@ def test_streaming_matches_batch_on_random_events(spark, tmp_path_factory, rows)
     assert len(emitted) == len(set(emitted)), "duplicate window emissions"
     assert set(emitted) <= batch_all, sorted(set(emitted) - batch_all)[:3]
     if rows:
-        max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
-        closed = {
-            tuple(r)
-            for r in windowed_metrics(batch_events)
-            .filter(F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
-            .collect()
-        }
+        # derive the closed set from the already-collected batch rows:
+        # window_end (tuple slot 1) at or before max event ts - 1h
+        import datetime  # noqa: PLC0415
+
+        max_ts = max(r[0] for r in rows)
+        horizon = max_ts - datetime.timedelta(hours=1)
+        closed = {t for t in batch_all if t[1] <= horizon}
         assert closed <= set(emitted), "watermark-closed windows missing"
 
     # -- sliding windows: emitted ⊆ batch --
@@ -190,32 +223,7 @@ def test_streaming_matches_batch_on_random_events(spark, tmp_path_factory, rows)
     # -- running totals: final per-user state == batch aggregate --
     sink, ckpt = f"{tmpdir}/tot_sink", f"{tmpdir}/tot_ckpt"
     _drain(running_user_totals(_read_stream(spark, src)), sink, ckpt)
-    log = spark.read.schema(
-        "user_id bigint, n_events bigint, total_value double"
-    ).parquet(sink)
-    # n_events strictly increases per emission for a user, so the row
-    # with the max count IS the final state (value may DECREASE when
-    # negative values arrive — max(total_value) would be wrong here)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    final = (
-        log.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "n_events", "total_value")
-    )
-    batch_tot = batch_events.groupBy("user_id").agg(
-        F.count("*").alias("bn"),
-        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("bv"),
-    )
-    joined = final.join(batch_tot, "user_id", "full_outer")
-    bad = joined.filter(
-        F.col("n_events").isNull()
-        | F.col("bn").isNull()
-        | (F.col("n_events") != F.col("bn"))
-        | (F.abs(F.col("total_value") - F.col("bv")) > 1e-6)
-    )
-    assert bad.count() == 0, bad.limit(5).collect()
+    _check_running_totals(spark, sink, batch_events)
 
 @settings(
     max_examples=max(2, _EXAMPLES // 3),
@@ -300,26 +308,4 @@ def test_streaming_survives_out_of_order_arrival(spark, tmp_path_factory, rows):
     # -- running totals: order-independent, so FULL equality holds --
     sink, ckpt = f"{tmpdir}/tot_sink", f"{tmpdir}/tot_ckpt"
     _drain(running_user_totals(_read_stream(spark, src)), sink, ckpt)
-    log = spark.read.schema(
-        "user_id bigint, n_events bigint, total_value double"
-    ).parquet(sink)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    final = (
-        log.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "n_events", "total_value")
-    )
-    batch_tot = batch_events.groupBy("user_id").agg(
-        F.count("*").alias("bn"),
-        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("bv"),
-    )
-    joined = final.join(batch_tot, "user_id", "full_outer")
-    bad = joined.filter(
-        F.col("n_events").isNull()
-        | F.col("bn").isNull()
-        | (F.col("n_events") != F.col("bn"))
-        | (F.abs(F.col("total_value") - F.col("bv")) > 1e-6)
-    )
-    assert bad.count() == 0, bad.limit(5).collect()
+    _check_running_totals(spark, sink, batch_events)
