@@ -899,3 +899,22 @@ def test_composition_entries_match_oracle_on_random_documents(
             spark.catalog.clearCache()
     finally:
         con.close()
+
+def test_every_entry_is_in_a_fuzz_family():
+    """Every oracle-bearing catalog entry must belong to a fuzz family
+    — the admin_jobs gap (an entry in NO family, masked by an
+    over-broad coverage tally) stays closed, and a future entry cannot
+    register without choosing its adversarial-input tier."""
+    fuzzed = set(_tpch_fuzzable()) | {"events_asof_order", "table_summary"}
+    for lst in (
+        FUZZ_ENTRIES,
+        DOC_FUZZ_ENTRIES,
+        DOC_FUZZ_ENTRIES_2,
+        DOC_FUZZ_ENTRIES_3,
+        EMB_FUZZ_ENTRIES,
+        EMB_FUZZ_ENTRIES_2,
+        DOMAIN_FUZZ_ENTRIES,
+    ):
+        fuzzed |= set(lst)
+    missing = sorted(n for n in CATALOG if n not in fuzzed)
+    assert not missing, f"catalog entries in no fuzz family: {missing}"
