@@ -404,9 +404,17 @@ EMB_FUZZ_ENTRIES_2 = [
     ),
     dup_of=st.integers(0, 31),
     n_zero=st.integers(0, 3),
+    # a residual-codebook seed id (16..31) zeroed to norm 0: the
+    # ann_ivfpq_residual oracle's rcb CTE silently shrinks, and the
+    # Spark side must shrink identically (allow_missing seeding) —
+    # r6 advisor finding: forcing all of 0..31 nonzero made this
+    # crash-vs-result divergence unreachable by fuzz
+    zero_seed=st.one_of(st.none(), st.integers(16, 31)),
 )
+# the shrunk-residual-codebook case runs on EVERY sweep
+@example(seed=7, extra=[], edits=[], dup_of=0, n_zero=0, zero_seed=20)
 def test_index_entries_match_oracle_on_random_vectors(
-    spark, tmp_path_factory, seed, extra, edits, dup_of, n_zero
+    spark, tmp_path_factory, seed, extra, edits, dup_of, n_zero, zero_seed
 ):
     import duckdb  # noqa: PLC0415
     import random  # noqa: PLC0415
@@ -419,6 +427,10 @@ def test_index_entries_match_oracle_on_random_vectors(
         # seed ids 0..31 must stay rankable (nonzero quantized norm)
         if not any(abs(x) >= 1e-3 for x in v):
             v[0] = 1.0
+    if zero_seed is not None:
+        # the contract exception: a zero-norm RESIDUAL seed (never a
+        # centroid) — both engines must shrink the residual codebook
+        vecs[zero_seed] = [0.0] * 64
     vecs += [list(v) for v in extra]
     # same adversarial tail as tier 1: an exact duplicate (cosine ties
     # at the rank boundary, bucket collisions in LSH/IVF cells) and

@@ -499,19 +499,33 @@ def test_pq_rerank_all_seeds_zero_norm_is_empty(spark, sf_dir):
 
 
 def test_pq_adc_accepts_prebuilt_index(spark, sf_dir):
-    """Passing a prebuilt pq_index must give the identical result and
-    let looping callers control the persist lifecycle (review finding:
-    every adc call persisted a fresh code table)."""
+    """Passing a prebuilt pq_index WITH its codebook must give the
+    identical result and let looping callers control the persist
+    lifecycle (review finding: every adc call persisted a fresh code
+    table). Passing the index WITHOUT its codebook must raise — the
+    codes are meaningless without the codebook that built them, and
+    silently re-seeding would compute wrong ADC distances (advisor
+    finding r6)."""
+    import pytest  # noqa: PLC0415
+
     emb = load_table(spark, sf_dir, "embeddings").limit(200)
-    idx = S.pq_index(emb)
+    cb = S.pq_seed_codebook(emb, n_sub=8, k_codes=16)
+    idx = S.pq_index(emb, codebook=cb)
     qf = F.col("vec_id") < 5
     with_idx = sorted(
-        tuple(r) for r in S.cosine_topk_pq_adc(emb, qf, k=5, index=idx).collect()
+        tuple(r)
+        for r in S.cosine_topk_pq_adc(
+            emb, qf, k=5, codebook=cb, index=idx
+        ).collect()
     )
     without = sorted(
         tuple(r) for r in S.cosine_topk_pq_adc(emb, qf, k=5).collect()
     )
     assert with_idx == without
+    with pytest.raises(ValueError, match="requires its codebook"):
+        S.cosine_topk_pq_adc(emb, qf, k=5, index=idx)
+    with pytest.raises(ValueError, match="requires its codebook"):
+        S.cosine_topk_ivfpq_residual(emb, qf, k=5, index=idx)
     idx.unpersist()
     spark.catalog.clearCache()
 
@@ -623,6 +637,47 @@ def test_ivfpq_residual_beats_raw_codes_at_full_probe(spark, sf_dir):
     r_plain = len(plain & truth) / len(truth)
     r_res = len(res & truth) / len(truth)
     assert r_res >= r_plain, (r_res, r_plain)
+    spark.catalog.clearCache()
+
+
+def test_residual_seeding_tolerates_zero_norm_seed(spark, sf_dir):
+    """A zero-norm vector among the residual seed ids 16..31 must
+    SHRINK the residual codebook (the ann_ivfpq_residual oracle's
+    rcb-CTE-over-nz semantics), not raise; all 16 seeds zero-norm →
+    empty codebook → empty index/result with the contract schemas
+    (advisor finding r6: crash-vs-result cross-engine divergence)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    one_zero = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") == 20, F.transform("embedding", lambda x: x * F.lit(0.0))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    rows = S.cosine_topk_ivfpq_residual(
+        one_zero, F.col("vec_id") < 5, k=3, nprobe=16, shortlist=1_000_000
+    ).collect()
+    # shrunk codebook still ranks: exhaustive probe + corpus shortlist
+    # degenerates to the exact scan minus the unrankable vector
+    assert {r.query_id for r in rows} == {0, 1, 2, 3, 4}
+    assert all(r.neighbor_id != 20 for r in rows)
+    all_zero = emb.select(
+        "vec_id",
+        F.when(
+            (F.col("vec_id") >= 16) & (F.col("vec_id") < 32),
+            F.transform("embedding", lambda x: x * F.lit(0.0)),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    assert S.pq_train_residual(all_zero, iters=1) == []
+    idx = S.ivfpq_residual_index(all_zero)
+    assert idx.count() == 0
+    assert [f.name for f in idx.schema.fields] == ["vec_id", "cell", "codes"]
+    topk = S.cosine_topk_ivfpq_residual(all_zero, F.col("vec_id") < 5, k=3)
+    assert topk.count() == 0
+    assert [f.name for f in topk.schema.fields] == [
+        "query_id", "neighbor_id", "rank", "cos_sim",
+    ]
     spark.catalog.clearCache()
 
 

@@ -332,3 +332,58 @@ def test_error_bursts_out_of_order_never_shrinks_burst_end(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got == {(1, mk(0), mk(8), 4)}, got
+
+
+def test_error_bursts_late_events_widen_start_and_drop_stragglers(
+    spark, tmp_path
+):
+    """r6 advisor finding: the out-of-order clamp (a) never lowered
+    burst_start, so a late event slightly before the open burst's
+    start was counted but left outside the reported span, and (b) let
+    ancient stragglers (arbitrarily older than the burst — the
+    negative gap always satisfies <= gap) inflate n_errors. Pinned:
+    batch 1 opens a burst at t=20,25 min (gap 10); batch 2 delivers
+    t=14 (within gap of start → merges AND widens start to 14),
+    t=-500 (ancient → dropped), then t=60 (closes the burst). Correct
+    emission: (14, 25, 3) — the old code emitted (20, 25, 4)."""
+    import datetime
+    import time
+
+    from tv_event_streaming_spark.streaming.metrics import error_bursts
+
+    t0 = datetime.datetime(2024, 1, 1)
+    mk = lambda mins: t0 + datetime.timedelta(minutes=mins)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "src")
+    batch1 = [(i, mk(m), 1, "error", None, None) for i, m in enumerate([20, 25])]
+    batch2 = [
+        (10, mk(14), 1, "error", None, None),
+        (11, mk(-500), 1, "error", None, None),
+        (12, mk(60), 1, "error", None, None),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # file mtime orders the micro-batches
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        error_bursts(stream, gap_minutes=10, min_count=2)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.burst_start, r.burst_end, r.n_errors)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {(1, mk(14), mk(25), 3)}, got

@@ -156,7 +156,10 @@ def bench_model(spark, d, root: str, model: str, n_users: int = 5) -> dict:
         )
         t_overlap.append(_timed_read(lambda: _overlap_read(titles_pq, us, ug)))
 
-    mean = lambda xs: round(sum(xs) / len(xs), 3)
+    # every sampled user can have empty source/genre prefs (r6 advisor
+    # finding: mean() raised ZeroDivisionError and killed the bench
+    # before printing); emit null read timings in that case
+    mean = lambda xs: round(sum(xs) / len(xs), 3) if xs else None
     out = {
         "model": model,
         "index_rows": idx_rows,
@@ -167,9 +170,13 @@ def bench_model(spark, d, root: str, model: str, n_users: int = 5) -> dict:
         "read_overlap_sec": mean(t_overlap),
         "n_read_queries": len(t_index),
     }
-    per_read_gain = out["read_overlap_sec"] - out["read_index_sec"]
+    per_read_gain = (
+        out["read_overlap_sec"] - out["read_index_sec"] if t_index else None
+    )
     out["crossover_reads"] = (
-        round(t_index_build / per_read_gain) if per_read_gain > 0 else None
+        round(t_index_build / per_read_gain)
+        if per_read_gain is not None and per_read_gain > 0
+        else None
     )
     return out
 

@@ -1624,6 +1624,11 @@ def cosine_topk_pq_adc(
     reclaims its plan."""
     import math  # noqa: PLC0415
 
+    if index is not None and codebook is None:
+        # The codes in a prebuilt index are meaningless without the
+        # codebook that built them; silently seeding the query LUTs
+        # here would yield wrong ADC distances with no error.
+        raise ValueError("passing a prebuilt index requires its codebook")
     spark = embeddings.sparkSession
     cbq = (
         codebook
@@ -2087,10 +2092,20 @@ def pq_residual_seed_codebook(
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_missing: bool = False,
 ) -> list[list[list[int]]]:
     """Seed codebook in RESIDUAL space: the residuals (against each
     seed vector's own nearest centroid) of the vectors with id in
     ``[n_centroids, n_centroids + k_codes)``, sub-sliced per subspace.
+
+    ``allow_missing=True`` builds the codebook from however many seed
+    ids survive the nonzero-norm gate (possibly zero → ``[]``) instead
+    of raising — the semantics of a SQL seed CTE over the filtered
+    frame (the ann_ivfpq_residual oracle's ``rcb`` CTE silently shrinks
+    when a seed id is zero-norm; raising here would be a crash-vs-result
+    cross-engine divergence). Codebook positions stay monotone in seed
+    id, so argmin tie-breaks match a gapped code=id-16 oracle numbering
+    either way — the same argument as :func:`pq_seed_codebook`.
 
     The seed range is deliberately DISJOINT from the centroid ids: a
     vector that IS a centroid has residual exactly zero (it is its own
@@ -2111,10 +2126,12 @@ def pq_residual_seed_codebook(
         .collect(),
         key=lambda r: r[0],
     )
-    if len(seed_rows) != k_codes:
+    if len(seed_rows) != k_codes and not allow_missing:
         raise ValueError(
             f"residual PQ seeding expects ids {lo}..{hi - 1}; found {len(seed_rows)}"
         )
+    if not seed_rows:
+        return []
     dims = len(seed_rows[0][1])
     if dims % n_sub:
         raise ValueError(f"dims={dims} not divisible by n_sub={n_sub}")
@@ -2182,8 +2199,11 @@ def pq_train_residual(
     embeddings = nonzero_norm(embeddings, vec_col)
     qcents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
     codebook = pq_residual_seed_codebook(
-        embeddings, n_centroids, n_sub, k_codes, id_col, vec_col
+        embeddings, n_centroids, n_sub, k_codes, id_col, vec_col,
+        allow_missing=True,
     )
+    if not codebook:
+        return []
     staged = _residual_staged(embeddings, n_centroids, qcents, id_col, vec_col)
     return _pq_lloyd(staged, codebook, iters, k_codes)
 
@@ -2207,7 +2227,15 @@ def ivfpq_residual_index(
     qcents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
     if codebook is None:
         codebook = pq_residual_seed_codebook(
-            embeddings, n_centroids, n_sub, k_codes, id_col, vec_col
+            embeddings, n_centroids, n_sub, k_codes, id_col, vec_col,
+            allow_missing=True,
+        )
+    if not codebook:
+        # No surviving seed ⇒ no codeword ⇒ no encodable row, like the
+        # oracle's renc CTE over an empty rcb.
+        id_type = embeddings.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"{id_col} {id_type}, cell int, codes array<int>"
         )
     sub = len(codebook[0][0])
 
@@ -2255,14 +2283,22 @@ def cosine_topk_ivfpq_residual(
     |Q|*nprobe entries; the scan touches the probed cells' code rows
     only), with finer quantization because residual magnitudes are
     small relative to raw vectors."""
+    if index is not None and codebook is None:
+        # The codes in a prebuilt index are meaningless without the
+        # codebook that built them; silently re-seeding here would
+        # produce wrong ADC distances with no error.
+        raise ValueError("passing a prebuilt index requires its codebook")
     embeddings = nonzero_norm(embeddings, vec_col)
     spark = embeddings.sparkSession
     qcents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
     cent_by_id = dict(qcents)
     if codebook is None:
         codebook = pq_residual_seed_codebook(
-            embeddings, n_centroids, n_sub, k_codes, id_col, vec_col
+            embeddings, n_centroids, n_sub, k_codes, id_col, vec_col,
+            allow_missing=True,
         )
+    if not codebook:
+        return _empty_topk(embeddings, id_col, "cos_sim double")
     sub = len(codebook[0][0])
     if index is None:
         index = ivfpq_residual_index(

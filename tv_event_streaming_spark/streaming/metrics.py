@@ -270,12 +270,24 @@ def error_bursts(
         for pdf in pdfs:
             ts_list.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
         for t_us in sorted(ts_list):
+            if last_us is not None and t_us < start_us - gap_us:
+                # An ancient straggler, older than anything the open
+                # burst could reach: it belongs to an already-elapsed
+                # run (possibly one already emitted — by construction
+                # consecutive bursts are > gap apart, so start - gap is
+                # exactly the overlap boundary). Counting it anywhere
+                # would inflate the open burst or conjure an
+                # overlapping run; it is dropped like a post-watermark
+                # event (the docstring's lateness contract).
+                continue
             if last_us is not None and t_us - last_us <= gap_us:
                 # A later batch can deliver an event OLDER than the
                 # stored last_us (no watermark upstream): count it into
-                # the open burst but never move last_us backwards —
+                # the open burst — widening burst_start if it lands
+                # before it — but never move last_us backwards:
                 # otherwise burst_end shrinks and subsequent gap checks
                 # run against a corrupted anchor.
+                start_us = min(start_us, t_us)
                 last_us, n = max(last_us, t_us), n + 1
             else:
                 close()
