@@ -102,22 +102,12 @@ DETAILS_SCHEMA = T.StructType(
 )
 
 
-@settings(
-    max_examples=max(2, _EXAMPLES // 3),
-    deadline=None,
-    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
-)
-@given(
-    titles=_titles,
-    prefs=_prefs,
-    details_mod=st.integers(1, 4),
-    null_details=st.booleans(),
-)
-def test_cascade_matches_model_on_random_domain(
-    spark, tmp_path_factory, titles, prefs, details_mod, null_details
-):
-    root = tmp_path_factory.mktemp("cascfuzz")
-
+def _stage_inputs(spark, root, titles, prefs, details_mod, null_details, n_files=None):
+    """Stage 1 shared by the fuzz tiers: build the lookup/prefs/details
+    frames and publish the bus (with the three poison pills). Returns
+    ``(events_dir, details)``. ``n_files`` coalesces the event frame so
+    the bus has a known small file count (the crash-restart tier reads
+    it at maxFilesPerTrigger=1, making each file a micro-batch)."""
     lookup_rows = [
         (tid, title, year, f"tt{tid}", tid * 2, "tv", typ)
         for tid, title, year, typ in titles
@@ -139,9 +129,11 @@ def test_cascade_matches_model_on_random_domain(
     ]
     details = spark.createDataFrame(det_rows, DETAILS_SCHEMA)
 
-    # stage 1 — produce + poison pills on the bus
     events_dir = str(root / "events")
-    publish(build_title_events(user_prefs, lookup, fetch_limit=FETCH_LIMIT), events_dir)
+    events = build_title_events(user_prefs, lookup, fetch_limit=FETCH_LIMIT)
+    if n_files is not None:
+        events = events.coalesce(n_files)
+    publish(events, events_dir)
     os.makedirs(events_dir, exist_ok=True)
     with open(os.path.join(events_dir, "poison.json"), "w") as fh:
         fh.write(
@@ -162,22 +154,14 @@ def test_cascade_matches_model_on_random_domain(
             + "\n"
         )
         fh.write("this is not even json\n")
+    return events_dir, details
 
-    titles_kt = titles_table(spark, str(root / "titles"))
-    index_kt = index_table(spark, str(root / "index"))
 
-    # stage 2 — consume, then REDELIVER everything (fresh checkpoint)
-    q = start_consumer(spark, events_dir, titles_kt, index_kt, str(root / "ck1"))
-    assert q.awaitTermination(120)
-    q = start_consumer(spark, events_dir, titles_kt, index_kt, str(root / "ck2"))
-    assert q.awaitTermination(120)
-
-    # stage 3 — enrichment CDC over the full journal (INSERTs from the
-    # first delivery, MODIFYs from the redelivery — must be filtered)
-    q = start_enrichment(spark, titles_kt, details, str(root / "ck3"))
-    assert q.awaitTermination(120)
-
-    # ---- model ----
+def _assert_final_state(
+    titles_kt, index_kt, titles, prefs, details_mod, null_details
+):
+    """The plain-Python model of the reference semantics, asserted
+    against the final canonical + index tables."""
     src = sorted({pid for _, kind, pid in prefs if kind == "source"})
     gen = sorted({pid for _, kind, pid in prefs if kind == "genre"})
     kept = sorted(t[0] for t in titles)[:FETCH_LIMIT]
@@ -213,3 +197,140 @@ def test_cascade_matches_model_on_random_domain(
         (r.source_id, r.genre_id, r.title_id) for r in index_kt.read().collect()
     }
     assert got_index == exp_index, (got_index, exp_index)
+
+
+@settings(
+    max_examples=max(2, _EXAMPLES // 3),
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    titles=_titles,
+    prefs=_prefs,
+    details_mod=st.integers(1, 4),
+    null_details=st.booleans(),
+)
+def test_cascade_matches_model_on_random_domain(
+    spark, tmp_path_factory, titles, prefs, details_mod, null_details
+):
+    root = tmp_path_factory.mktemp("cascfuzz")
+    events_dir, details = _stage_inputs(
+        spark, root, titles, prefs, details_mod, null_details
+    )
+    titles_kt = titles_table(spark, str(root / "titles"))
+    index_kt = index_table(spark, str(root / "index"))
+
+    # stage 2 — consume, then REDELIVER everything (fresh checkpoint)
+    q = start_consumer(spark, events_dir, titles_kt, index_kt, str(root / "ck1"))
+    assert q.awaitTermination(120)
+    q = start_consumer(spark, events_dir, titles_kt, index_kt, str(root / "ck2"))
+    assert q.awaitTermination(120)
+
+    # stage 3 — enrichment CDC over the full journal (INSERTs from the
+    # first delivery, MODIFYs from the redelivery — must be filtered)
+    q = start_enrichment(spark, titles_kt, details, str(root / "ck3"))
+    assert q.awaitTermination(120)
+
+    _assert_final_state(
+        titles_kt, index_kt, titles, prefs, details_mod, null_details
+    )
+
+
+def _drain_tolerating_injected_crash(q):
+    """Await a stream that MAY die from an injected fault: a surfaced
+    exception is the expected crash (budget below the run's upsert
+    count); clean termination means the budget exceeded the run's work
+    (also fine — hypothesis shrinks toward crashing budgets). A hang is
+    neither and fails."""
+    try:
+        done = q.awaitTermination(180)
+    except Exception:
+        return  # the injected crash surfaced through the query thread
+    assert done, "stream neither finished nor crashed within 180s"
+
+
+@settings(
+    max_examples=max(2, _EXAMPLES // 3),
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    titles=_titles,
+    prefs=_prefs,
+    details_mod=st.integers(1, 4),
+    consumer_crashes=st.lists(st.integers(0, 5), min_size=1, max_size=2),
+    enrich_crash=st.one_of(st.none(), st.integers(0, 1)),
+)
+def test_cascade_survives_crash_restart_at_random_points(
+    spark, tmp_path_factory, titles, prefs, details_mod,
+    consumer_crashes, enrich_crash,
+):
+    """Fault injection (r6 verdict #6): kill the cascade's streams at
+    RANDOM points — after the k-th table write, which lands crashes
+    mid-micro-batch (between the titles MERGE and the index MERGE) as
+    well as at micro-batch boundaries (maxFilesPerTrigger=1 makes every
+    bus file its own batch) — then restart from the SAME checkpoint.
+    foreachBatch output is not transactional with the offset commit, so
+    the crashed batch is REPLAYED on restart, possibly after partial
+    application; the idempotent keyed MERGE must absorb it. After every
+    injected crash schedule, the final tables must equal the model
+    exactly — crash-restart is example-tested (test_storage.py); this
+    fuzzes arbitrary crash schedules against the full cascade."""
+    from tv_event_streaming_spark.streaming.storage import KeyedTable
+
+    root = tmp_path_factory.mktemp("cascrash")
+    events_dir, details = _stage_inputs(
+        spark, root, titles, prefs, details_mod, False, n_files=3
+    )
+    titles_kt = titles_table(spark, str(root / "titles"))
+    index_kt = index_table(spark, str(root / "index"))
+
+    real_upsert = KeyedTable.upsert
+    for budget in consumer_crashes:
+        calls = {"n": 0}
+
+        def crashing(self, batch, _b=budget, _c=calls):
+            if _c["n"] >= _b:
+                raise RuntimeError("injected crash")
+            _c["n"] += 1
+            return real_upsert(self, batch)
+
+        KeyedTable.upsert = crashing
+        try:
+            q = start_consumer(
+                spark, events_dir, titles_kt, index_kt, str(root / "ck1"),
+                max_files_per_trigger=1,
+            )
+            _drain_tolerating_injected_crash(q)
+        finally:
+            KeyedTable.upsert = real_upsert
+    # recovery run from the same checkpoint, then an at-least-once
+    # REDELIVERY of the whole bus (fresh checkpoint)
+    q = start_consumer(
+        spark, events_dir, titles_kt, index_kt, str(root / "ck1"),
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(180)
+    q = start_consumer(spark, events_dir, titles_kt, index_kt, str(root / "ck2"))
+    assert q.awaitTermination(120)
+
+    if enrich_crash is not None:
+        real_uf = KeyedTable.update_fields
+        calls = {"n": 0}
+
+        def crashing_uf(self, updates, fields, _c=calls):
+            if _c["n"] >= enrich_crash:
+                raise RuntimeError("injected crash")
+            _c["n"] += 1
+            return real_uf(self, updates, fields)
+
+        KeyedTable.update_fields = crashing_uf
+        try:
+            q = start_enrichment(spark, titles_kt, details, str(root / "ck3"))
+            _drain_tolerating_injected_crash(q)
+        finally:
+            KeyedTable.update_fields = real_uf
+    q = start_enrichment(spark, titles_kt, details, str(root / "ck3"))
+    assert q.awaitTermination(180)
+
+    _assert_final_state(titles_kt, index_kt, titles, prefs, details_mod, False)
