@@ -195,34 +195,46 @@ class KeyedTable:
         The batch is deduplicated on the key first (last-writer-wins is
         unnecessary — reference batches carry identical payloads per key,
         consumer.py:57). Only the buckets containing batch keys are read
-        and rewritten."""
-        batch = batch.dropDuplicates(self.key_cols)
-        if batch.isEmpty():  # empty micro-batches must not write versions
-            return {"version": self.current_version(), "inserts": 0, "modifies": 0}
-        touched = self._touched_buckets(batch)
-        current = self._read_buckets(
-            self._read_manifest(self.current_version()), touched
-        )
-        # journal classification: new key -> INSERT, existing -> MODIFY
-        inserts = batch.join(current, self.key_cols, "left_anti")
-        modifies = batch.join(
-            current.select(*self.key_cols), self.key_cols, "left_semi"
-        )
-        untouched = current.join(batch, self.key_cols, "left_anti")
-        new_state = untouched.unionByName(batch)
+        and rewritten.
 
-        v = self.current_version() + 1
-        changes = inserts.select(
-            F.lit("INSERT").alias("event_name"), F.lit(v).cast("long").alias("version"), "*"
-        ).unionByName(
-            modifies.select(
-                F.lit("MODIFY").alias("event_name"), F.lit(v).cast("long").alias("version"), "*"
+        The deduped batch is persisted for the MERGE's duration: four
+        actions read it (emptiness probe, touched-bucket collect, the
+        journal write, the data write), and without the barrier each
+        re-ran the batch's upstream lineage — for the consumer's index
+        leg that lineage is a double explode + key-dedup shuffle of the
+        full exploded set, and re-running it dominated the cascade
+        (measured 2.7×: 279 s → 104 s on the 50 M-row merge, SCALE.md
+        §6e)."""
+        batch = batch.dropDuplicates(self.key_cols).persist()
+        try:
+            if batch.isEmpty():  # empty micro-batches must not write versions
+                return {"version": self.current_version(), "inserts": 0, "modifies": 0}
+            touched = self._touched_buckets(batch)
+            current = self._read_buckets(
+                self._read_manifest(self.current_version()), touched
             )
-        )
-        obs = Observation()
-        out = self._publish(v, new_state, touched, self._observed(changes, obs), obs)
-        out.pop("deletes", None)
-        return out
+            # journal classification: new key -> INSERT, existing -> MODIFY
+            inserts = batch.join(current, self.key_cols, "left_anti")
+            modifies = batch.join(
+                current.select(*self.key_cols), self.key_cols, "left_semi"
+            )
+            untouched = current.join(batch, self.key_cols, "left_anti")
+            new_state = untouched.unionByName(batch)
+
+            v = self.current_version() + 1
+            changes = inserts.select(
+                F.lit("INSERT").alias("event_name"), F.lit(v).cast("long").alias("version"), "*"
+            ).unionByName(
+                modifies.select(
+                    F.lit("MODIFY").alias("event_name"), F.lit(v).cast("long").alias("version"), "*"
+                )
+            )
+            obs = Observation()
+            out = self._publish(v, new_state, touched, self._observed(changes, obs), obs)
+            out.pop("deletes", None)
+            return out
+        finally:
+            batch.unpersist()
 
     def update_fields(self, updates: DataFrame, fields: list[str]) -> dict[str, int]:
         """Field-level MERGE (the reference's UpdateItem on nested paths,
