@@ -812,3 +812,110 @@ def test_residual_training_does_not_hurt_recall(spark, sf_dir):
         len(trained & truth), len(seed & truth),
     )
     spark.catalog.clearCache()
+
+
+def _ref_argmin_codes(qv, cb, sub):
+    """Exact-integer reference PQ assignment: per-subspace argmin of
+    quantized squared L2 over the ACTUAL codebook width, ties to the
+    lowest code id."""
+    codes = []
+    for m, words in enumerate(cb):
+        best = None
+        for j, cw in enumerate(words):
+            d = sum(
+                (qv[m * sub + d] - cw[d]) * (qv[m * sub + d] - cw[d])
+                for d in range(sub)
+            )
+            if best is None or d < best[0]:
+                best = (d, j)
+        codes.append(best[1])
+    return codes
+
+
+def test_shrunk_codebook_codes_match_reference_argmin(spark, sf_dir):
+    """A codebook SHRUNK by allow_missing seeding (one zero-norm seed
+    id → 15 words/subspace) must still encode every vector to its true
+    per-subspace argmin. Regression: the one-pass extraction filtered
+    the sorted (m, qdist, code) array at stride k_codes=16, so a
+    15-word codebook silently picked subspace m's (m+1)-th-best
+    codeword — wrong codes that the exhaustive-shortlist tolerance
+    test could not see (exact rerank hides shortlist garbage when the
+    whole corpus is shortlisted)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    one_zero = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") == 20, F.transform("embedding", lambda x: x * F.lit(0.0))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    nz = S.nonzero_norm(one_zero)
+    cb = S.pq_residual_seed_codebook(one_zero, allow_missing=True)
+    assert len(cb[0]) == 15  # the shrink actually happened
+    sub = len(cb[0][0])
+    qcents = S._collect_centroids(nz, 16, "vec_id", "embedding")
+    cent_by_id = dict(qcents)
+    got = {
+        r.vec_id: (r.cell, list(r.codes))
+        for r in S.ivfpq_residual_index(one_zero).collect()
+    }
+    for r in nz.select("vec_id", "embedding").collect():
+        qq = S._qvec(r[1])
+        cell = S._nearest_cell(qq, qcents)
+        qv = [a - b for a, b in zip(qq, cent_by_id[cell])]
+        assert got[r[0]] == (cell, _ref_argmin_codes(qv, cb, sub)), r[0]
+    spark.catalog.clearCache()
+
+    # raw-PQ twin: pq_codes over a rerank-style shrunk codebook
+    zeroed3 = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") == 3, F.transform("embedding", lambda x: x * F.lit(0.0))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    nz3 = S.nonzero_norm(zeroed3)
+    cb3 = S.pq_seed_codebook(nz3, 8, 16, "vec_id", "embedding", allow_missing=True)
+    assert len(cb3[0]) == 15
+    got3 = {
+        r.vec_id: list(r.codes)
+        for r in S.pq_codes(nz3, codebook=cb3).collect()
+    }
+    for r in nz3.select("vec_id", "embedding").collect():
+        qv = S._qvec(r[1])
+        assert got3[r[0]] == _ref_argmin_codes(qv, cb3, sub), r[0]
+    spark.catalog.clearCache()
+
+
+def test_shrunk_codebook_lloyd_iteration_matches_reference(spark, sf_dir):
+    """One Lloyd iteration over a SHRUNK residual codebook must match
+    the exact-integer reference (assign by true argmin, update each
+    non-empty (m, code, dim) to floor(sum/count)); the stride bug
+    corrupted every trained-from-shrunk codebook silently."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    one_zero = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") == 20, F.transform("embedding", lambda x: x * F.lit(0.0))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    nz = S.nonzero_norm(one_zero)
+    cb0 = S.pq_residual_seed_codebook(one_zero, allow_missing=True)
+    sub = len(cb0[0][0])
+    qcents = S._collect_centroids(nz, 16, "vec_id", "embedding")
+    cent_by_id = dict(qcents)
+    # exact-integer reference: one assignment + mean-update pass
+    sums = {}
+    for r in nz.select("vec_id", "embedding").collect():
+        qq = S._qvec(r[1])
+        qv = [a - b for a, b in zip(qq, cent_by_id[S._nearest_cell(qq, qcents)])]
+        for m, j in enumerate(_ref_argmin_codes(qv, cb0, sub)):
+            for d in range(sub):
+                s, n = sums.get((m, j, d), (0, 0))
+                sums[(m, j, d)] = (s + qv[m * sub + d], n + 1)
+    expect = [[list(w) for w in words] for words in cb0]
+    for (m, j, d), (s, n) in sums.items():
+        expect[m][j][d] = s // n
+    assert S.pq_train_residual(one_zero, iters=1) == expect
+    spark.catalog.clearCache()

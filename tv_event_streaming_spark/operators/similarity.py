@@ -1347,7 +1347,13 @@ def _pq_codebook_row(
 ):
     """One broadcastable row holding the full PQ codebook (seeded by
     default, or a trained ``pq_train`` codebook — both quantized-int
-    ``[m][code][dim]``). Returns (codebook_df, sub_dim)."""
+    ``[m][code][dim]``). Returns (codebook_df, sub_dim, n_words) —
+    ``n_words`` is the ACTUAL per-subspace word count, which can be
+    smaller than ``k_codes`` when the codebook came from an
+    ``allow_missing=True`` seeding (a missing seed drops that codeword
+    from every subspace uniformly); the argmin extraction in
+    :func:`_pq_firsts` must index by the actual width, not the
+    requested one."""
     spark = embeddings.sparkSession
     if codebook is None:
         codebook = pq_seed_codebook(embeddings, n_sub, k_codes, id_col, vec_col)
@@ -1360,7 +1366,7 @@ def _pq_codebook_row(
     cb = spark.createDataFrame(
         [(entries,)], "_cb array<struct<m:int,code:int,qc:array<bigint>>>"
     )
-    return cb, sub
+    return cb, sub, len(codebook[0])
 
 
 def pq_train(
@@ -1391,21 +1397,23 @@ def pq_train(
     long before the corpus is exhausted (the standard faiss practice)."""
     codebook = pq_seed_codebook(embeddings, n_sub, k_codes, id_col, vec_col)
     staged = embeddings.select(F.transform(F.col(vec_col), _q).alias("_qv"))
-    return _pq_lloyd(staged, codebook, iters, k_codes)
+    return _pq_lloyd(staged, codebook, iters)
 
 
 def _pq_lloyd(
     staged: DataFrame,
     codebook: list[list[list[int]]],
     iters: int,
-    k_codes: int,
 ) -> list[list[list[int]]]:
     """The shared Lloyd loop over a staged quantized-vector frame
     (``_qv`` int64 arrays) — raw vectors for :func:`pq_train`,
-    residuals for :func:`pq_train_residual`."""
+    residuals for :func:`pq_train_residual`. Assignment indexes by the
+    codebook's ACTUAL per-subspace width (an ``allow_missing`` seeding
+    can be narrower than the requested ``k_codes``)."""
     spark = staged.sparkSession
     n_sub = len(codebook)
     sub = len(codebook[0][0])
+    n_words = len(codebook[0])
     for _ in range(iters):
         entries = [
             (m, j, qsub)
@@ -1434,7 +1442,7 @@ def _pq_lloyd(
                 e["code"],
             ),
         )
-        firsts = F.filter(F.array_sort(scored), lambda e, i: i % k_codes == 0)
+        firsts = F.filter(F.array_sort(scored), lambda e, i: i % n_words == 0)
         assigned = F.transform(
             firsts,
             lambda e: F.named_struct(
@@ -1465,13 +1473,16 @@ def _pq_lloyd(
     return codebook
 
 
-def _pq_firsts(sub: int, k_codes: int) -> Column:
+def _pq_firsts(sub: int, n_words: int) -> Column:
     """Per-row PQ argmin chain over staged ``_qv`` and broadcast
     ``_cb`` columns: score every (subspace, codeword), sort
     lexicographically by (m, qdist, code) — subspace m's best codeword
-    then sits exactly at index m·k_codes — and extract all argmins
+    then sits exactly at index m·n_words — and extract all argmins
     with ONE indexed filter pass (no re-references to the scored
-    array; SCALE.md §6c inlining family)."""
+    array; SCALE.md §6c inlining family). ``n_words`` must be the
+    codebook's ACTUAL per-subspace width, not the requested k_codes —
+    an ``allow_missing`` seeding can shrink it, and indexing by the
+    wrong stride silently extracts the wrong codewords."""
     scored = F.transform(
         F.col("_cb"),
         lambda e: F.named_struct(
@@ -1491,7 +1502,7 @@ def _pq_firsts(sub: int, k_codes: int) -> Column:
             e["code"],
         ),
     )
-    return F.filter(F.array_sort(scored), lambda e, i: i % k_codes == 0)
+    return F.filter(F.array_sort(scored), lambda e, i: i % n_words == 0)
 
 
 def pq_codes(
@@ -1506,11 +1517,13 @@ def pq_codes(
     map-side pass — no explode, no shuffle — so the encode chain
     composes onto STREAMS (streaming.dedup.semantic_dedup_stream) and
     the index build skips the explode→groupBy reassembly."""
-    cb, sub = _pq_codebook_row(embeddings, n_sub, k_codes, id_col, vec_col, codebook)
+    cb, sub, n_words = _pq_codebook_row(
+        embeddings, n_sub, k_codes, id_col, vec_col, codebook
+    )
     staged = embeddings.select(
         F.col(id_col), F.transform(F.col(vec_col), _q).alias("_qv")
     )
-    firsts = _pq_firsts(sub, k_codes)
+    firsts = _pq_firsts(sub, n_words)
     return (
         staged.crossJoin(F.broadcast(cb))
         .select(
@@ -1549,11 +1562,13 @@ def pq_encode(
     picked by ONE indexed ``filter`` pass). No corpus shuffle, no
     per-row Python, no repeated lambda references to staged arrays
     (SCALE.md §6c inlining family)."""
-    cb, sub = _pq_codebook_row(embeddings, n_sub, k_codes, id_col, vec_col, codebook)
+    cb, sub, n_words = _pq_codebook_row(
+        embeddings, n_sub, k_codes, id_col, vec_col, codebook
+    )
     staged = embeddings.select(
         F.col(id_col), F.transform(F.col(vec_col), _q).alias("_qv")
     )
-    firsts = _pq_firsts(sub, k_codes)
+    firsts = _pq_firsts(sub, n_words)
     return (
         staged.crossJoin(F.broadcast(cb))
         .select(F.col(id_col), F.explode(firsts).alias("_e"))
@@ -2205,7 +2220,7 @@ def pq_train_residual(
     if not codebook:
         return []
     staged = _residual_staged(embeddings, n_centroids, qcents, id_col, vec_col)
-    return _pq_lloyd(staged, codebook, iters, k_codes)
+    return _pq_lloyd(staged, codebook, iters)
 
 
 def ivfpq_residual_index(
@@ -2249,7 +2264,7 @@ def ivfpq_residual_index(
     )
 
     staged = _residual_staged(embeddings, n_centroids, qcents, id_col, vec_col)
-    firsts = _pq_firsts(sub, k_codes)
+    firsts = _pq_firsts(sub, len(codebook[0]))
     return (
         staged.crossJoin(F.broadcast(cb_row))
         .select(

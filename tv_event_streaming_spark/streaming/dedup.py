@@ -95,7 +95,9 @@ def semantic_dedup_stream(
     # the stream would be a stateful stream-stream join); the codebook
     # attaches as a stream-static broadcast row. The only stateful
     # operator is the dedup itself.
-    cb, sub = _pq_codebook_row(vectors, n_sub, k_codes, id_col, vec_col, codebook)
+    cb, sub, n_words = _pq_codebook_row(
+        vectors, n_sub, k_codes, id_col, vec_col, codebook
+    )
     staged = vectors.withColumn("_qv", F.transform(F.col(vec_col), _q))
     with_key = (
         staged.crossJoin(F.broadcast(cb))
@@ -103,7 +105,7 @@ def semantic_dedup_stream(
             "_code_key",
             F.array_join(
                 F.transform(
-                    _pq_firsts(sub, k_codes), lambda e: e["code"].cast("string")
+                    _pq_firsts(sub, n_words), lambda e: e["code"].cast("string")
                 ),
                 ",",
             ),
