@@ -59,8 +59,12 @@ def generate(out_dir: str, n_docs: int, n_vecs: int, base: str) -> None:
 
     rng = np.random.default_rng(20260814)
     lengths = rng.integers(10, 101, size=n_docs)
+    # one vocab->ndarray conversion, not one per document (500k docs
+    # would re-wrap the list 500k times); draws stay per-doc so the
+    # stream of random values (and thus the corpus) is unchanged
+    vocab_arr = np.array(vocab)
     texts = [
-        " ".join(rng.choice(vocab, size=int(n)).tolist()) for n in lengths
+        " ".join(rng.choice(vocab_arr, size=int(n)).tolist()) for n in lengths
     ]
     docs = pa.table(
         {

@@ -69,7 +69,9 @@ def profile(spark, sf_dir: str, fetch_limit: int) -> dict:
             os.path.join(root, "ckpt"),
             stage_timings=timings,
         )
-        q.awaitTermination()
+        # bounded like the test suite's drains: a wedged stream should
+        # fail the profiling run fast, not hang it forever
+        assert q.awaitTermination(600), "consumer did not drain in 600s"
         wall = time.perf_counter() - t0
         in_process = (
             timings.get("materialize_sec", 0.0)
