@@ -387,3 +387,56 @@ def test_error_bursts_late_events_widen_start_and_drop_stragglers(
         for r in spark.read.parquet(sink).collect()
     }
     assert got == {(1, mk(14), mk(25), 3)}, got
+
+
+def test_error_bursts_batch_chain_bridges_straggler_into_burst(
+    spark, tmp_path
+):
+    """r7 review finding: per-event decisions against the PRE-WIDEN
+    burst_start dropped a straggler that a later same-batch event
+    bridged into the open burst. Batch 1 opens (20, 25); batch 2
+    delivers t=5 and t=14 (gap 9 <= 10 chains them; 14 bridges to 20)
+    then t=60 (closes). {5,14,20,25} is ONE run — the batch twin
+    counts all four — so the emission must be (5, 25, 4); deciding
+    t=5 alone against start=20 dropped it and emitted (14, 25, 3)."""
+    import datetime
+    import time
+
+    from tv_event_streaming_spark.streaming.metrics import error_bursts
+
+    t0 = datetime.datetime(2024, 1, 1)
+    mk = lambda mins: t0 + datetime.timedelta(minutes=mins)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "src")
+    batch1 = [(i, mk(m), 1, "error", None, None) for i, m in enumerate([20, 25])]
+    batch2 = [
+        (10, mk(5), 1, "error", None, None),
+        (11, mk(14), 1, "error", None, None),
+        (12, mk(60), 1, "error", None, None),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # file mtime orders the micro-batches
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        error_bursts(stream, gap_minutes=10, min_count=2)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.burst_start, r.burst_end, r.n_errors)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {(1, mk(5), mk(25), 4)}, got

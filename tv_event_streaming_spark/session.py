@@ -52,10 +52,22 @@ def get_spark(
         # 0.5s→50s. A bigger cache keeps compiled code resident, and more
         # C2 compiler threads drain the compile queue so fresh plans
         # don't run interpreted behind a backlog.
+        #
+        # GCLockerRetryAllocationCount: JDK 17 retries an allocation only
+        # 2× when a GC is blocked by threads in JNI critical regions
+        # (parquet/compression codecs enter them constantly with 32
+        # executor threads); under allocation pressure the retry budget
+        # exhausts and the task dies with "Retried waiting for GCLocker
+        # too often" despite free heap — observed on 500 k-doc dedup
+        # sweeps. The standard Spark-on-JDK17 mitigation is a bigger
+        # retry budget (the lock holder exits within microseconds). The
+        # flag is diagnostic in JDK 17 — it must follow the unlock flag
+        # or the JVM refuses to start.
         .config(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
-            "-XX:CICompilerCount=16",
+            "-XX:CICompilerCount=16 -XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=64",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")

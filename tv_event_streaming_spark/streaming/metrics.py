@@ -269,29 +269,44 @@ def error_bursts(
         ts_list = []
         for pdf in pdfs:
             ts_list.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
+        # Sessionize THIS batch's events into chains BEFORE touching
+        # state: deciding event-by-event against the pre-widen
+        # burst_start drops a straggler that a later same-batch event
+        # would have bridged into the open burst (t=5 looks ancient
+        # next to [20,25], but {5,14,20,25} is ONE run at gap 10 — the
+        # batch twin counts all four).
+        chains: list[list[int]] = []  # [start, end, count], ascending
         for t_us in sorted(ts_list):
-            if last_us is not None and t_us < start_us - gap_us:
-                # An ancient straggler, older than anything the open
-                # burst could reach: it belongs to an already-elapsed
-                # run (possibly one already emitted — by construction
-                # consecutive bursts are > gap apart, so start - gap is
-                # exactly the overlap boundary). Counting it anywhere
-                # would inflate the open burst or conjure an
-                # overlapping run; it is dropped like a post-watermark
-                # event (the docstring's lateness contract).
-                continue
-            if last_us is not None and t_us - last_us <= gap_us:
-                # A later batch can deliver an event OLDER than the
-                # stored last_us (no watermark upstream): count it into
-                # the open burst — widening burst_start if it lands
-                # before it — but never move last_us backwards:
-                # otherwise burst_end shrinks and subsequent gap checks
-                # run against a corrupted anchor.
-                start_us = min(start_us, t_us)
-                last_us, n = max(last_us, t_us), n + 1
+            if chains and t_us - chains[-1][1] <= gap_us:
+                chains[-1][1] = max(chains[-1][1], t_us)
+                chains[-1][2] += 1
             else:
+                chains.append([t_us, t_us, 1])
+        for c_start, c_end, c_n in chains:
+            if last_us is None:
+                start_us, last_us, n = c_start, c_end, c_n
+            elif c_end < start_us - gap_us:
+                # The whole chain is ancient — nothing in it reaches
+                # the open burst: it belongs to an already-elapsed run
+                # (possibly one already emitted — consecutive bursts
+                # are > gap apart, so start - gap is exactly the
+                # overlap boundary). Counting it anywhere would
+                # conjure an overlapping run; dropped like a
+                # post-watermark event (the docstring's lateness
+                # contract).
+                continue
+            elif c_start - last_us > gap_us:
                 close()
-                start_us, last_us, n = t_us, t_us, 1
+                start_us, last_us, n = c_start, c_end, c_n
+            else:
+                # The chain overlaps or bridges the open burst (a
+                # later batch can deliver events OLDER than last_us —
+                # no watermark upstream): widen both ends, never
+                # shrink — a shrunken burst_end corrupts later gap
+                # checks.
+                start_us = min(start_us, c_start)
+                last_us = max(last_us, c_end)
+                n += c_n
         state.update((start_us, last_us, n))
         if not out:
             return

@@ -241,60 +241,75 @@ class KeyedTable:
         enrichment.py:114-125): for keys present in ``updates``, set only
         ``fields``; all other columns and rows unchanged. Rows in
         ``updates`` whose key doesn't exist are ignored (fetch-then-update
-        semantics). Only touched buckets are rewritten."""
-        upd = updates.dropDuplicates(self.key_cols).alias("u")
-        if upd.isEmpty():
-            return {"version": self.current_version(), "modifies": 0}
-        touched = self._touched_buckets(upd)
-        current = self._read_buckets(
-            self._read_manifest(self.current_version()), touched
-        )
-        cur = current.alias("c")
-        merged = cur.join(upd, self.key_cols, "left_outer").select(
-            *[F.col(f"c.{k}").alias(k) for k in self.key_cols],
-            *[
-                (
-                    F.when(F.col(f"u.{self.key_cols[0]}").isNotNull(), F.col(f"u.{f}"))
-                    .otherwise(F.col(f"c.{f}"))
-                    .alias(f)
-                    if f in fields
-                    else F.col(f"c.{f}").alias(f)
-                )
-                for f in current.columns
-                if f not in self.key_cols
-            ],
-        )
-        touched_keys = upd.join(cur, self.key_cols, "left_semi")
-        v = self.current_version() + 1
-        new_images = merged.join(
-            touched_keys.select(*self.key_cols), self.key_cols, "left_semi"
-        )
-        changes = new_images.select(
-            F.lit("MODIFY").alias("event_name"), F.lit(v).cast("long").alias("version"), "*"
-        )
-        obs = Observation()
-        out = self._publish(v, merged, touched, self._observed(changes, obs), obs)
-        return {"version": out["version"], "modifies": out["modifies"]}
+        semantics). Only touched buckets are rewritten.
+
+        The deduped batch is persisted for the MERGE's duration, same as
+        :meth:`upsert`: the enrichment leg's updates carry a
+        stream-static join in their lineage, and the four actions here
+        (emptiness probe, touched-bucket collect, data write, journal
+        write) would each re-run it."""
+        upd_base = updates.dropDuplicates(self.key_cols).persist()
+        upd = upd_base.alias("u")
+        try:
+            if upd.isEmpty():
+                return {"version": self.current_version(), "modifies": 0}
+            touched = self._touched_buckets(upd)
+            current = self._read_buckets(
+                self._read_manifest(self.current_version()), touched
+            )
+            cur = current.alias("c")
+            merged = cur.join(upd, self.key_cols, "left_outer").select(
+                *[F.col(f"c.{k}").alias(k) for k in self.key_cols],
+                *[
+                    (
+                        F.when(F.col(f"u.{self.key_cols[0]}").isNotNull(), F.col(f"u.{f}"))
+                        .otherwise(F.col(f"c.{f}"))
+                        .alias(f)
+                        if f in fields
+                        else F.col(f"c.{f}").alias(f)
+                    )
+                    for f in current.columns
+                    if f not in self.key_cols
+                ],
+            )
+            touched_keys = upd.join(cur, self.key_cols, "left_semi")
+            v = self.current_version() + 1
+            new_images = merged.join(
+                touched_keys.select(*self.key_cols), self.key_cols, "left_semi"
+            )
+            changes = new_images.select(
+                F.lit("MODIFY").alias("event_name"), F.lit(v).cast("long").alias("version"), "*"
+            )
+            obs = Observation()
+            out = self._publish(v, merged, touched, self._observed(changes, obs), obs)
+            return {"version": out["version"], "modifies": out["modifies"]}
+        finally:
+            upd_base.unpersist()
 
     def delete(self, keys: DataFrame) -> dict[str, int]:
         """Keyed delete (the preference-removal path, preferences.py:153-161).
         Only touched buckets are rewritten; a bucket left empty drops out
-        of the manifest."""
-        if keys.isEmpty():
-            return {"version": self.current_version(), "deletes": 0}
-        touched = self._touched_buckets(keys)
-        current = self._read_buckets(
-            self._read_manifest(self.current_version()), touched
-        )
-        removed = current.join(keys, self.key_cols, "left_semi")
-        remaining = current.join(keys, self.key_cols, "left_anti")
-        v = self.current_version() + 1
-        changes = removed.select(
-            F.lit("REMOVE").alias("event_name"), F.lit(v).cast("long").alias("version"), "*"
-        )
-        obs = Observation()
-        out = self._publish(v, remaining, touched, self._observed(changes, obs), obs)
-        return {"version": out["version"], "deletes": out["deletes"]}
+        of the manifest. The key batch is persisted for the delete's
+        duration (same multi-action lineage re-run as :meth:`upsert`)."""
+        keys = keys.persist()
+        try:
+            if keys.isEmpty():
+                return {"version": self.current_version(), "deletes": 0}
+            touched = self._touched_buckets(keys)
+            current = self._read_buckets(
+                self._read_manifest(self.current_version()), touched
+            )
+            removed = current.join(keys, self.key_cols, "left_semi")
+            remaining = current.join(keys, self.key_cols, "left_anti")
+            v = self.current_version() + 1
+            changes = removed.select(
+                F.lit("REMOVE").alias("event_name"), F.lit(v).cast("long").alias("version"), "*"
+            )
+            obs = Observation()
+            out = self._publish(v, remaining, touched, self._observed(changes, obs), obs)
+            return {"version": out["version"], "deletes": out["deletes"]}
+        finally:
+            keys.unpersist()
 
     def _flip(self, v: int) -> None:
         tmp = self._pointer + ".tmp"
