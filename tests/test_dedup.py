@@ -4,6 +4,8 @@ finds them (the driver's rows-only check can't see semantics)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -55,6 +57,121 @@ def test_simhash_near_pairs(spark, docs_with_dups):
     assert len(exact_found) == 100
     zero = [r for r in pairs if r.doc_a < OFFSET and r.doc_b == r.doc_a + OFFSET]
     assert all(r.hamming == 0 for r in zero)
+
+
+def _sig_frame(spark, sigs):
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "doc_id bigint, simhash bigint"
+    )
+
+
+def test_simhash_near_pairs_n_blocks_guarantee_and_tails(spark):
+    """The n_blocks scale knob: every setting keeps the distance<=3
+    pigeonhole guarantee; the beyond-guarantee tails diverge in BOTH
+    directions (neither table family subsumes the other), pinned on
+    constructed bit patterns so the docstring's trade is concrete."""
+    base = 0x0123_4567_89AB_CDEF
+    flip = lambda s, *bits: s ^ sum(1 << b for b in bits)
+    # d=3 spread over three different 16-bit quarters AND three
+    # different m=6 blocks: guaranteed found by both
+    d3 = flip(base, 0, 20, 40)
+    # d=4 at bits {11,21,33,54}: every 16-bit quarter dirty (m=4
+    # misses) but m=6 blocks {0-10,22-32,44-53} are clean — combo
+    # (b0,b2,b4) catches it
+    m6_only = flip(base, 11, 21, 33, 54)
+    # d=5 at bits {0,11,22,33,44}: five distinct m=6 blocks dirty
+    # (only b5 clean — no clean triple) but quarter q3 (bits 48-63)
+    # is clean, so m=4 finds it and m=6 does not
+    m4_only = flip(base, 0, 11, 22, 33, 44)
+    sigs = _sig_frame(spark, [base, d3, m6_only, m4_only])
+
+    def pairs_with(m):
+        return {
+            (r.doc_a, r.doc_b)
+            for r in D.simhash_near_pairs(
+                sigs, max_hamming=8, n_blocks=m
+            ).collect()
+        }
+
+    p4, p6 = pairs_with(4), pairs_with(6)
+    assert (0, 1) in p4 and (0, 1) in p6  # d<=3 guarantee at both
+    assert (0, 2) not in p4 and (0, 2) in p6
+    assert (0, 3) in p4 and (0, 3) not in p6
+
+
+def _near_pairs_reference(sigs, max_hamming, n_blocks):
+    """Exact-integer Python reference of the blocked candidate scheme
+    (r6 lesson: degenerate paths need a reference implementation, not
+    just end-to-end hashes): same block widths, same C(m, m-3) bucket
+    combinations, same bit_count verify."""
+    import itertools
+
+    base, rem = divmod(64, n_blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    offs = [sum(widths[:i]) for i in range(n_blocks)]
+    combos = list(itertools.combinations(range(n_blocks), n_blocks - 3))
+
+    def keys(s):
+        out = set()
+        for ci, combo in enumerate(combos):
+            key, shift = 0, 0
+            for bi in combo:
+                key |= ((s >> offs[bi]) & ((1 << widths[bi]) - 1)) << shift
+                shift += widths[bi]
+            out.add((ci, key))
+        return out
+
+    got = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(enumerate(sigs), 2):
+        if keys(sa) & keys(sb) and bin((sa ^ sb) & (2**64 - 1)).count("1") <= max_hamming:
+            got.add((min(ia, ib), max(ia, ib)))
+    return got
+
+
+def test_simhash_near_pairs_matches_reference_on_random_signatures(spark):
+    """Property fuzz of the n_blocks knob over adversarial signature
+    sets (clustered around shared patterns so buckets collide): Spark
+    output == the Python reference for m in {4, 6, 8}."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(int(os.environ.get("FUZZ_EXAMPLES", "4"))):
+        centers = [rng.getrandbits(64) for _ in range(3)]
+        sigs = []
+        for _ in range(40):
+            s = rng.choice(centers)
+            for b in rng.sample(range(64), rng.randint(0, 12)):
+                s ^= 1 << b
+            # signatures are stored as SIGNED longs Spark-side
+            sigs.append(s - 2**64 if s >= 2**63 else s)
+        frame = _sig_frame(spark, sigs)
+        for m in (4, 6, 8):
+            got = {
+                (r.doc_a, r.doc_b)
+                for r in D.simhash_near_pairs(
+                    frame, max_hamming=6, n_blocks=m
+                ).collect()
+            }
+            want = _near_pairs_reference(sigs, 6, m)
+            assert got == want, (trial, m, got ^ want)
+
+
+def test_simhash_near_pairs_n_blocks_default_identical(spark, docs_with_dups):
+    """n_blocks=4 is byte-for-byte today's quarter scheme — the knob
+    must not perturb the oracle-checked default output."""
+    sigs = D.simhash_signatures(docs_with_dups)
+    a = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_near_pairs(sigs, max_hamming=8).collect()
+    }
+    b = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_near_pairs(sigs, max_hamming=8, n_blocks=4).collect()
+    }
+    assert a == b and len(a) >= 100
+
+    with pytest.raises(ValueError):
+        D.simhash_near_pairs(sigs, n_blocks=3)
 
 
 def test_ngram_jaccard_exactness(spark, docs_with_dups):

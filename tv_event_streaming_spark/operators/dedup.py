@@ -625,27 +625,63 @@ def simhash_signatures(
     return counts.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_near_pairs(
+    signatures: DataFrame, max_hamming: int = 8, n_blocks: int = 4
+) -> DataFrame:
     """Tier 4b — near-pairs by Hamming distance ≤ k, candidate-generated
-    by equality on any 16-bit quarter (pigeonhole: distance ≤ 3 ⇒ some
-    quarter equal; wider k trades recall) then verified exactly with
-    bit_count(xor)."""
+    by bucket equality then verified exactly with bit_count(xor).
+
+    ``n_blocks`` is the SCALE knob (the permuted-table scheme from the
+    public web-crawl near-dup literature, of which the default is the
+    smallest instance): the 64 bits split into ``m = n_blocks`` blocks,
+    and each document is bucketed ``C(m, m-3)`` times on every
+    combination of ``m-3`` blocks, so a pair within Hamming distance 3
+    (≤ 3 errors touch ≤ 3 blocks ⇒ some (m-3)-block combination is
+    untouched) ALWAYS shares a bucket — the same pigeonhole guarantee
+    at every ``m``. What ``m`` buys is key width: the bucket key spans
+    ``64·(m-3)/m`` bits (m=4 → one 16-bit quarter, today's default;
+    m=6 → 32 bits over 20 tables; m=8 → 40 bits over 56 tables), and
+    bucket population ~ N/2^width, so the candidate term Σ C(bucket,2)
+    stays output-sized instead of saturating at N²/2^16. Measured at
+    500 k uniform-vocabulary docs (SCALE.md §6e): m=4 generates 2.09 B
+    candidates for 239 M true pairs (8.75× wasted verifies, max bucket
+    17 661); pick ``m`` so the key width comfortably exceeds log2(N).
+    Recall beyond the distance-3 guarantee is the trade: a pair at
+    distance 4..max_hamming is found only if some key combination is
+    error-free — more likely under m=4's single-block keys than m=6's
+    triples — so widening ``m`` monotonically cuts cost but thins the
+    beyond-guarantee tail. The default is unchanged semantics.
+
+    NOTE the verified OUTPUT is itself corpus-dependent: on a topically
+    homogeneous corpus Hamming ≤ 8 is a dense relation (the 239 M pairs
+    above are TRUE positives) and no candidate scheme makes a dense
+    output sparse — tighten ``max_hamming`` when pair density, not
+    candidate waste, is the cost driver."""
+    import itertools  # noqa: PLC0415
+
+    if n_blocks < 4:
+        raise ValueError(f"n_blocks must be >= 4, got {n_blocks}")
+    base, rem = divmod(64, n_blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    offs = [sum(widths[:i]) for i in range(n_blocks)]
+    combos = list(itertools.combinations(range(n_blocks), n_blocks - 3))
+    keys = []
+    for ci, combo in enumerate(combos):
+        # pack the combo's block values into one long; masking AFTER the
+        # arithmetic shiftright keeps sign-extension out of the key
+        key = F.lit(0).cast("long")
+        shift = 0
+        for bi in combo:
+            blk = F.shiftright("simhash", offs[bi]).bitwiseAND(
+                F.lit((1 << widths[bi]) - 1)
+            )
+            key = key.bitwiseOR(F.shiftleft(blk, shift))
+            shift += widths[bi]
+        keys.append(F.struct(F.lit(ci).alias("q"), key.alias("quarter")))
     quarters = signatures.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(q).alias("q"),
-                        F.shiftright("simhash", q * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("quarter"),
-                    )
-                    for q in range(4)
-                ]
-            )
-        ).alias("qq"),
+        F.explode(F.array(*keys)).alias("qq"),
     ).select("doc_id", "simhash", "qq.q", "qq.quarter")
     # both self-join sides read the same signature computation — persist
     # so the (expensive, per-token-hash) signature job runs once
