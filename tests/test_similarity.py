@@ -303,6 +303,68 @@ def test_knn_graph_twin_is_rank1(spark, emb_with_twins):
     assert twin_rank1 >= 45
 
 
+def test_seed_cell_assignment_vectorized_identical(spark, sf_dir):
+    """The Arrow/numpy assignment path is bit-identical to the Catalyst
+    HOF expression path — every (vec_id, cell) agrees on the real corpus
+    at an odd centroid count (the auto switch at n_centroids >= 64 must
+    not perturb any downstream result)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expr = {
+        (r[0], r[1])
+        for r in S._seed_cell_assignment(
+            emb, 23, "vec_id", "embedding", vectorized=False
+        )
+        .select("vec_id", "cell")
+        .collect()
+    }
+    vec = {
+        (r[0], r[1])
+        for r in S._seed_cell_assignment(
+            emb, 23, "vec_id", "embedding", vectorized=True
+        )
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert expr == vec and len(expr) > 0
+
+
+def test_seed_cell_assignment_vectorized_tie_break(spark):
+    """Exact score ties resolve to the LOWEST centroid id on both
+    paths: centroids 1 and 3 are identical vectors, so every query tied
+    between them must land in cell 1."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.5, 0.5, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.5, 0.5, 0.0, 0.0]),  # exact duplicate of centroid 1
+        (10, [0.7, 0.7, 0.0, 0.0]),  # parallel to 1 and 3: exact tie
+        (11, [0.51, 0.49, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    for vectorized in (False, True):
+        cells = {
+            r.vec_id: r.cell
+            for r in S._seed_cell_assignment(
+                emb, 4, "vec_id", "embedding", vectorized=vectorized
+            ).collect()
+        }
+        assert cells[10] == 1, (vectorized, cells)
+        assert cells[3] == 1, (vectorized, cells)
+
+
+def test_seed_cell_assignment_vectorized_rejects_ragged(spark):
+    """The vectorized path's uniform-dims contract is enforced, not
+    silently mis-scored."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (5, [1.0, 0.0, 0.5])],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="centroid dims|stack"):
+        S._seed_cell_assignment(
+            emb, 2, "vec_id", "embedding", vectorized=True
+        ).collect()
+
+
 def test_pq_codes_shape_and_range(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     enc = S.pq_encode(emb, n_sub=8, k_codes=16)

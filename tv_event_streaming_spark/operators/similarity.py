@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window
 
 QUANT = 1_000_000
@@ -1001,6 +1002,7 @@ def _seed_cell_assignment(
     n_centroids: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """(id, vec, cell): nearest-seed-centroid assignment, cross-engine
     exact — the same quantized arithmetic :func:`kmeans_update_stats`
@@ -1008,10 +1010,44 @@ def _seed_cell_assignment(
     double division per score, ties to the lowest centroid id), kept as
     a reusable frame so set-shaped consumers (semantic dedup, cell
     histograms) can share it. Pure map-side: the centroids travel as a
-    single broadcast row; the corpus never shuffles."""
+    single broadcast row (expression path) or inside the Arrow UDF
+    closure (vectorized path); the corpus never shuffles.
+
+    Two physically different, bitwise-identical paths (pinned by
+    test_seed_cell_assignment_vectorized_identical):
+
+    - ``vectorized=False`` — the Catalyst higher-order-function
+      expression (array_sort over per-centroid aggregate dots). HOFs
+      run INTERPRETED (no whole-stage codegen), so per-row cost is
+      ~n_centroids·dims interpreted arithmetic evals: right for the
+      catalog-pinned n_centroids=16, and measured pathological at the
+      √N scale rule (jstack: one task 10+ CPU-minutes inside
+      ArraySort.eval at n_centroids=707 over 500 k rows — the r7 slope
+      sweep's straggler).
+    - ``vectorized=True`` — one Arrow ``mapInPandas`` pass whose batch
+      work is an int64 numpy matmul (Qv @ Qc.T) + IEEE-identical score
+      division; ~n_centroids·dims·rows FLOP-rate work instead of
+      interpreted-eval rate. Exactness holds because every step mirrors
+      the expression path bit-for-bit: float32→float64 widening is
+      exact, floor(x·1e6) int64 quantization identical, int64 dots
+      exact (no overflow at |q| ≤ ~1e6·dims), and the final
+      dot/sqrt(nv·cnormsq) is the same correctly-rounded IEEE double
+      op sequence; argmax-first-index = lowest-centroid-id tie-break.
+      Requires uniform vector length == centroid dims (the corpus
+      contract; the expression path's zip_with-null semantics for
+      ragged rows are not replicated).
+
+    Default (``vectorized=None``): auto — the UDF path at
+    n_centroids ≥ 64, where the interpreted-eval term dominates."""
     import math  # noqa: PLC0415
 
     embeddings = nonzero_norm(embeddings, vec_col)
+    if vectorized is None:
+        vectorized = n_centroids >= 64
+    if vectorized:
+        return _seed_cell_assignment_vectorized(
+            embeddings, n_centroids, id_col, vec_col
+        )
     cent_rows = sorted(
         embeddings.filter(F.col(id_col) < n_centroids)
         .select(id_col, vec_col)
@@ -1065,6 +1101,69 @@ def _seed_cell_assignment(
         id_col,
         vec_col,
         F.element_at(ordered, 1)["cent_id"].cast("int").alias("cell"),
+    )
+
+
+def _seed_cell_assignment_vectorized(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow/numpy twin of the :func:`_seed_cell_assignment` expression
+    path (see its docstring for the bit-identity argument). ``embeddings``
+    must already be nonzero-norm filtered. The closure is self-contained
+    (numpy only) so cloudpickle ships it by value — no package import on
+    the Python workers."""
+    import math  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    cent_rows = sorted(
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    if not cent_rows:
+        raise ValueError(
+            f"no nonzero-norm centroid seeds with {id_col} < {n_centroids}"
+        )
+    cent_ids = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
+    qc = np.array(
+        [[int(math.floor(float(x) * QUANT)) for x in r[1]] for r in cent_rows],
+        dtype=np.int64,
+    )
+    cnormsq = (qc * qc).sum(axis=1).astype(np.float64)
+    dims, quant = qc.shape[1], QUANT
+
+    out_fields = embeddings.select(id_col, vec_col).schema.fields
+    out_schema = T.StructType(
+        [*out_fields, T.StructField("cell", T.IntegerType(), False)]
+    )
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy())
+            if v.shape[1] != dims:
+                raise ValueError(
+                    f"vector length {v.shape[1]} != centroid dims {dims}"
+                )
+            # floor(double(x)·QUANT): float32→float64 widening is exact,
+            # so this is bit-identical to the expression path's _q
+            qv = np.floor(v.astype(np.float64) * quant).astype(np.int64)
+            nv = (qv * qv).sum(axis=1).astype(np.float64)
+            dots = qv @ qc.T  # exact int64
+            scores = dots.astype(np.float64) / np.sqrt(nv[:, None] * cnormsq)
+            # first max index over ascending cent_id = lowest-id tie-break
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["cell"] = cent_ids[scores.argmax(axis=1)].astype(np.int32)
+            yield pdf
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign_batches, schema=out_schema
     )
 
 
@@ -1189,6 +1288,18 @@ def knn_graph(
     the SemDeDup trade: raise ``n_centroids`` with N so cells stay
     bounded, and accept that recall is within-cell (compose with
     :func:`ann_recall_at_k`-style evaluation to measure it).
+
+    Choosing ``n_centroids`` at scale: assignment costs N·C·d (numpy
+    FLOP-rate via the vectorized path once C ≥ 64 — the interpreted
+    HOF expression was the r7 slope sweep's 10-CPU-minute straggler at
+    C=707) and in-cell scoring costs ~N²·d/C, so C ≈ √N balances the
+    two at O(N^1.5·d) total — measured last-decade slope 0.87 at 500 k
+    rows where linear scan/shuffle terms still dominate. For a strictly
+    linear pair budget pick C = N/s (bounded cell size s), accepting
+    the larger assignment term N²·d/s — at that point assignment wants
+    a coarse-then-refine composition (assign to √C super-cells, then
+    within them), which is :func:`cosine_topk_ivf`'s territory, not a
+    new knob here.
 
     Scale shape: map-side assignment (one broadcast centroid row);
     within-cell pairs via the blocked int64 matmul with the hot-cell
