@@ -358,6 +358,59 @@ def test_similarity_entries_match_oracle_on_random_vectors(
         con.close()
 
 
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(
+    vecs=st.lists(_vec, min_size=16, max_size=20),
+    dup_of=st.integers(0, 15),
+    n_zero=st.integers(0, 3),
+    n_centroids=st.sampled_from([5, 7, 16]),
+)
+def test_seed_cell_assignment_paths_agree_on_random_vectors(
+    spark, tmp_path_factory, vecs, dup_of, n_zero, n_centroids
+):
+    """Path-differential (not oracle) fuzz: the Arrow/numpy assignment
+    path must equal the Catalyst HOF expression path on every (vec_id,
+    cell) — including planted exact-duplicate centroids (score ties →
+    lowest centroid id) and sub-quantization-grid vectors (filtered by
+    the same nonzero_norm on both paths). This is the bit-identity
+    claim the auto switch at n_centroids >= 64 rests on, probed beyond
+    the real-corpus pin in test_similarity.py."""
+    from tv_event_streaming_spark.operators import similarity as S  # noqa: PLC0415
+
+    vecs = list(vecs) + [list(vecs[dup_of])]
+    for i in range(n_zero):
+        vecs.append([0.0] * 64 if i % 2 == 0 else [4.9e-7] * 64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    expr = {
+        (r[0], r[1])
+        for r in S._seed_cell_assignment(
+            emb, n_centroids, "vec_id", "embedding", vectorized=False
+        )
+        .select("vec_id", "cell")
+        .collect()
+    }
+    vec = {
+        (r[0], r[1])
+        for r in S._seed_cell_assignment(
+            emb, n_centroids, "vec_id", "embedding", vectorized=True
+        )
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert expr == vec and len(expr) > 0
+
+
 # second embeddings tier: the index-backed retrieval entries. Their
 # oracles embed the corpus layout as literals — centroid seeds are ids
 # 0..15, the residual codebook seeds ids 16..31 (disjoint: a
