@@ -45,6 +45,28 @@ def test_pq_encode_is_single_pass_map_side(spark, sf_dir):
     }, m and m.group(1)
 
 
+def test_seed_cell_assignment_auto_switch_plan_shape(spark, sf_dir):
+    """The centroid-assignment auto switch is a PLAN property: at the
+    catalog's n_centroids=16 the plan must stay the pure-expression
+    form (no Python worker round-trip — every oracle-green entry's
+    shape), and at >= 64 it must be the Arrow mapInPandas form (the
+    interpreted-HOF argmin measured as a 10-CPU-minute straggler at
+    sqrt(N) centroid counts, SCALE.md §6e)."""
+    from tv_event_streaming_spark.domain import load_table
+    from tv_event_streaming_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def plan(n):
+        df = S._seed_cell_assignment(emb, n, "vec_id", "embedding")
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small, large = plan(16), plan(64)
+    assert "MapInPandas" not in small and "EvalPython" not in small
+    assert "MapInPandas" in large
+    assert n_exchanges(small) == 0 and n_exchanges(large) == 0  # map-side
+
+
 def test_pq_index_is_persisted_for_the_adc_scan(spark, sf_dir):
     # SCALE §6c: nested-lambda references to a staged array need an
     # InMemoryRelation attribute — dropping pq_index's persist
