@@ -77,7 +77,13 @@ def generate(out_dir: str, n_docs: int, n_vecs: int, base: str) -> None:
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
-    pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
+    # bounded row groups so a multi-million-row file still scans wide
+    # (one default-size row group = one Spark task for the whole file)
+    pq.write_table(
+        docs,
+        os.path.join(out_dir, "documents.parquet"),
+        row_group_size=min(262_144, n_docs),
+    )
 
     vecs = rng.standard_normal((n_vecs, 64)).astype(np.float32)
     emb = pa.table(
