@@ -156,9 +156,11 @@ def test_simhash_near_pairs_matches_reference_on_random_signatures(spark):
             assert got == want, (trial, m, got ^ want)
 
 
-def test_simhash_near_pairs_n_blocks_default_identical(spark, docs_with_dups):
-    """n_blocks=4 is byte-for-byte today's quarter scheme — the knob
-    must not perturb the oracle-checked default output."""
+def test_simhash_near_pairs_auto_matches_m4_at_catalog_scale(spark, docs_with_dups):
+    """The AUTO default (n_blocks=None → derive from corpus size) must
+    resolve to m=4 at every catalog corpus (N ≤ 5 000 < 2^13) and be
+    byte-for-byte the historical quarter scheme — the auto-switch must
+    not perturb the oracle-checked default output."""
     sigs = D.simhash_signatures(docs_with_dups)
     a = {
         (r.doc_a, r.doc_b, r.hamming)
@@ -169,9 +171,60 @@ def test_simhash_near_pairs_n_blocks_default_identical(spark, docs_with_dups):
         for r in D.simhash_near_pairs(sigs, max_hamming=8, n_blocks=4).collect()
     }
     assert a == b and len(a) >= 100
+    # the approx_rows hint path picks the same rung without a count job
+    c = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_near_pairs(
+            sigs, max_hamming=8, approx_rows=docs_with_dups.count()
+        ).collect()
+    }
+    assert a == c
 
-    with pytest.raises(ValueError):
-        D.simhash_near_pairs(sigs, n_blocks=3)
+    for bad in (3, 17):
+        with pytest.raises(ValueError):
+            D.simhash_near_pairs(sigs, n_blocks=bad)
+
+
+def test_auto_n_blocks_ladder():
+    """Rung boundaries of the auto-derivation: smallest m whose
+    conservative key width (m-3)·floor(64/m) clears ceil(log2(N))+3.
+    m=4 carries every catalog corpus; the d100/d1000 scale corpora land
+    on m=5/m=6; a 100 TB-scale doc count tops out at m=8."""
+    assert D._auto_n_blocks(1) == 4
+    assert D._auto_n_blocks(500) == 4
+    assert D._auto_n_blocks(5_000) == 4
+    assert D._auto_n_blocks(8_192) == 4  # last m=4 rung: need 13+3 = 16
+    assert D._auto_n_blocks(8_193) == 5
+    assert D._auto_n_blocks(500_000) == 5  # d100: need 19+3 = 22 ≤ 24
+    assert D._auto_n_blocks(5_000_000) == 6  # d1000: need 23+3 = 26 ≤ 30
+    assert D._auto_n_blocks(10**9) == 8
+    assert D._auto_n_blocks(10**11) == 8  # 100 TB of 1 kB docs
+    assert D._auto_n_blocks(10**13) == 8  # ladder cap — tighten max_hamming instead
+
+
+def test_simhash_near_pairs_auto_rung_matches_reference(spark):
+    """When auto selects a wider rung (approx_rows past the m=4
+    boundary), the output must equal the exact-integer Python reference
+    at that rung — the auto path is a dispatch, not a third scheme."""
+    import random
+
+    rng = random.Random(20260816)
+    centers = [rng.getrandbits(64) for _ in range(3)]
+    sigs = []
+    for _ in range(40):
+        s = rng.choice(centers)
+        for b in rng.sample(range(64), rng.randint(0, 10)):
+            s ^= 1 << b
+        sigs.append(s - 2**64 if s >= 2**63 else s)
+    frame = _sig_frame(spark, sigs)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_near_pairs(
+            frame, max_hamming=6, approx_rows=500_000
+        ).collect()
+    }
+    assert D._auto_n_blocks(500_000) == 5
+    assert got == _near_pairs_reference(sigs, 6, 5)
 
 
 def test_ngram_jaccard_exactness(spark, docs_with_dups):

@@ -625,32 +625,73 @@ def simhash_signatures(
     return counts.select("doc_id", sig.alias("simhash"))
 
 
+#: `n_blocks` auto-selection ladder: smallest m whose conservative
+#: minimum bucket-key width (m-3 blocks × floor(64/m) bits) clears
+#: ceil(log2(N)) + 3 slack bits, so bucket population N/2^width stays
+#: ≤ ~1/8 and the candidate term Σ C(bucket,2) stays output-sized.
+#: m=4 → 16-bit keys (good to N ≤ 2^13), m=5 → 24 (≤ 2^21),
+#: m=6 → 30 (≤ 2^27), m=8 → 40 bits — at N=10^11 (a 100 TB corpus of
+#: 1 kB docs) bucket population is still 0.09, so the ladder tops out
+#: at C(8,5)=56 tables; beyond that, tighten max_hamming, not m.
+_N_BLOCKS_LADDER = (4, 5, 6, 8)
+_N_BLOCKS_MAX = 16  # C(16,13)=560 tables — past any sane fan-out
+
+
+def _auto_n_blocks(n_docs: int) -> int:
+    need = max(1, int(n_docs) - 1).bit_length() + 3
+    for m in _N_BLOCKS_LADDER:
+        if (m - 3) * (64 // m) >= need:
+            return m
+    return _N_BLOCKS_LADDER[-1]
+
+
 def simhash_near_pairs(
-    signatures: DataFrame, max_hamming: int = 8, n_blocks: int = 4
+    signatures: DataFrame,
+    max_hamming: int = 8,
+    n_blocks: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Tier 4b — near-pairs by Hamming distance ≤ k, candidate-generated
     by bucket equality then verified exactly with bit_count(xor).
 
     ``n_blocks`` is the SCALE knob (the permuted-table scheme from the
-    public web-crawl near-dup literature, of which the default is the
-    smallest instance): the 64 bits split into ``m = n_blocks`` blocks,
-    and each document is bucketed ``C(m, m-3)`` times on every
-    combination of ``m-3`` blocks, so a pair within Hamming distance 3
-    (≤ 3 errors touch ≤ 3 blocks ⇒ some (m-3)-block combination is
-    untouched) ALWAYS shares a bucket — the same pigeonhole guarantee
-    at every ``m``. What ``m`` buys is key width: the bucket key spans
-    ``64·(m-3)/m`` bits (m=4 → one 16-bit quarter, today's default;
-    m=6 → 32 bits over 20 tables; m=8 → 40 bits over 56 tables), and
-    bucket population ~ N/2^width, so the candidate term Σ C(bucket,2)
-    stays output-sized instead of saturating at N²/2^16. Measured at
-    500 k uniform-vocabulary docs (SCALE.md §6e): m=4 generates 2.09 B
+    public web-crawl near-dup literature, of which m=4 is the smallest
+    instance): the 64 bits split into ``m = n_blocks`` blocks, and each
+    document is bucketed ``C(m, m-3)`` times on every combination of
+    ``m-3`` blocks, so a pair within Hamming distance 3 (≤ 3 errors
+    touch ≤ 3 blocks ⇒ some (m-3)-block combination is untouched)
+    ALWAYS shares a bucket — the same pigeonhole guarantee at every
+    ``m``. What ``m`` buys is key width: the bucket key spans
+    ``64·(m-3)/m`` bits (m=4 → one 16-bit quarter; m=6 → 32 bits over
+    20 tables; m=8 → 40 bits over 56 tables), and bucket population
+    ~ N/2^width, so the candidate term Σ C(bucket,2) stays output-sized
+    instead of saturating at N²/2^16. Measured at 500 k
+    uniform-vocabulary docs (SCALE.md §6e): m=4 generates 2.09 B
     candidates for 239 M true pairs (8.75× wasted verifies, max bucket
-    17 661); pick ``m`` so the key width comfortably exceeds log2(N).
+    17 661).
+
+    **Default is AUTO** (``n_blocks=None``): the engine derives m from
+    the corpus size via :data:`_N_BLOCKS_LADDER` — smallest m whose key
+    width clears log2(N)+3 — the same pattern as the centroid-assignment
+    auto-switch (similarity.py), so the 100 TB caller gets non-saturating
+    blocking without reading this docstring. N comes from
+    ``approx_rows`` when the caller already knows it (zero extra work;
+    an estimate within 2× picks the same rung — rungs are ≥ 2^8 apart);
+    otherwise the signature frame is persisted and counted (one small
+    action over a 2-long-per-doc frame, reused by both self-join sides,
+    which the m=4-era code persisted anyway as the wider ``quarters``).
+    At every catalog corpus (N ≤ 5 000 < 2^13) auto resolves to m=4,
+    byte-identical to the historical quarter scheme — pinned by
+    test_simhash_near_pairs_auto_matches_m4_at_catalog_scale.
+
     Recall beyond the distance-3 guarantee is the trade: a pair at
     distance 4..max_hamming is found only if some key combination is
     error-free — more likely under m=4's single-block keys than m=6's
     triples — so widening ``m`` monotonically cuts cost but thins the
-    beyond-guarantee tail. The default is unchanged semantics.
+    beyond-guarantee tail (measured m4-vs-m6 recall table: SCALE.md
+    §6f). Pass an explicit ``n_blocks`` to pin the trade; values
+    outside 4..16 raise (C(m,3) tables — a typo like m=60 would
+    multiply the self-join input ~34 000× before any join runs).
 
     NOTE the verified OUTPUT is itself corpus-dependent: on a topically
     homogeneous corpus Hamming ≤ 8 is a dense relation (the 239 M pairs
@@ -659,8 +700,18 @@ def simhash_near_pairs(
     candidate waste, is the cost driver."""
     import itertools  # noqa: PLC0415
 
-    if n_blocks < 4:
-        raise ValueError(f"n_blocks must be >= 4, got {n_blocks}")
+    if n_blocks is None:
+        if approx_rows is None:
+            # persist so the count action and both self-join sides all
+            # read one materialization of the (expensive, per-token)
+            # signature job (disk-spillable; freed by ContextCleaner)
+            signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
+            approx_rows = signatures.count()
+        n_blocks = _auto_n_blocks(approx_rows)
+    if not 4 <= n_blocks <= _N_BLOCKS_MAX:
+        raise ValueError(
+            f"n_blocks must be in 4..{_N_BLOCKS_MAX}, got {n_blocks}"
+        )
     base, rem = divmod(64, n_blocks)
     widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
     offs = [sum(widths[:i]) for i in range(n_blocks)]
