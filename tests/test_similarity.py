@@ -365,6 +365,35 @@ def test_seed_cell_assignment_vectorized_rejects_ragged(spark):
         ).collect()
 
 
+def test_seed_cell_assignment_empty_seeds_raise_on_both_paths(spark):
+    """Path identity on a seedless corpus (ADVICE r7 #2): the auto-switch
+    must not change the failure mode — both paths raise the same
+    ValueError instead of the expression path silently emitting NULL
+    cells."""
+    emb = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    for vectorized in (False, True):
+        with pytest.raises(ValueError, match="no nonzero-norm centroid seeds"):
+            S._seed_cell_assignment(
+                emb, 2, "vec_id", "embedding", vectorized=vectorized
+            )
+
+
+def test_pq_encode_empty_codebook_raises_descriptively(spark):
+    """pq_codes/pq_encode against an [] codebook (what allow_missing
+    seeding returns on a seedless corpus) must raise the documented
+    ValueError, not IndexError (ADVICE r7 #3)."""
+    emb = spark.createDataFrame(
+        [(0, [float(i) for i in range(64)])],
+        "vec_id bigint, embedding array<float>",
+    )
+    for fn in (S.pq_codes, S.pq_encode):
+        with pytest.raises(ValueError, match="codebook is empty"):
+            fn(emb, codebook=[])
+
+
 def test_pq_codes_shape_and_range(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     enc = S.pq_encode(emb, n_sub=8, k_codes=16)

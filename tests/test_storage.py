@@ -163,3 +163,104 @@ def test_delete_and_update_of_nonexistent_keys(spark, tmp_path):
     empty = KeyedTable(spark, str(tmp_path / "e"), ["k"], KV_SCHEMA, n_buckets=4)
     r3 = empty.delete(_kv(spark, [(1, "x")]).select("k"))
     assert r3["deletes"] == 0
+
+
+def test_journal_false_twin_equivalence(spark, tmp_path):
+    """VERDICT r7 #5: journal=False skips the NEW_IMAGE change-journal
+    append (for tables no CDC consumer tails — the consumer's index
+    leg). Contract: identical final table state AND identical merge
+    counts vs a journaled twin through the same upsert / update_fields /
+    delete sequence — only the journal side effects differ."""
+    roots = {j: str(tmp_path / f"t{j}") for j in (True, False)}
+    tables = {
+        j: KeyedTable(spark, r, ["k"], KV_SCHEMA, n_buckets=4, journal=j)
+        for j, r in roots.items()
+    }
+    seq = [
+        ("upsert", _kv(spark, [(1, "a"), (2, "b"), (3, "c")])),
+        ("upsert", _kv(spark, [(2, "B"), (4, "d")])),  # 1 insert + 1 modify
+        ("update_fields", _kv(spark, [(1, "A"), (99, "zz")])),  # 1 hit, 1 miss
+        ("delete", _kv(spark, [(3, None), (3, None), (42, None)])),  # dup + miss
+        ("upsert", _kv(spark, [])),  # empty batch: no version
+    ]
+    results = {True: [], False: []}
+    for j, t in tables.items():
+        for op, batch in seq:
+            if op == "upsert":
+                results[j].append(t.upsert(batch))
+            elif op == "update_fields":
+                results[j].append(t.update_fields(batch, ["v"]))
+            else:
+                results[j].append(t.delete(batch.select("k")))
+    assert results[True] == results[False], results
+    state = {
+        j: {(r.k, r.v) for r in t.read().collect()} for j, t in tables.items()
+    }
+    assert state[True] == state[False] == {(1, "A"), (2, "B"), (4, "d")}
+
+    # the journaled twin has a journal; the journal-free one has neither
+    # files nor a live-looking API
+    assert tables[True].read_changes().count() > 0
+    assert not os.path.isdir(os.path.join(roots[False], "_changes"))
+    with pytest.raises(ValueError, match="journal=False"):
+        tables[False].read_changes()
+    with pytest.raises(ValueError, match="journal=False"):
+        tables[False].stream_changes()
+
+
+def test_journal_false_merges_inside_foreachbatch(spark, tmp_path):
+    """Regression for the foreachBatch Observation hang: a
+    CollectMetrics node inside a union child whose sibling is an empty
+    relation (the v=-1 first merge) never delivers its metrics under
+    foreachBatch — Observation.get blocked forever and the cascade
+    fuzz timed out. The no-journal paths observe ABOVE the union now;
+    this pins all three merge kinds driven from a real stream."""
+    import time
+
+    root = str(tmp_path / "t")
+    table = KeyedTable(spark, root, ["k"], KV_SCHEMA, n_buckets=4, journal=False)
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a"), (2, "b")], KV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame([(2, "B"), (3, "c")], KV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    results = []
+
+    def fb(batch, epoch):
+        results.append(table.upsert(batch))
+        results.append(table.update_fields(batch.select("k", F.lit("u").alias("v")), ["v"]))
+        results.append(table.delete(batch.filter(F.col("k") == 99).select("k")))
+
+    q = (
+        spark.readStream.schema(KV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish (obs hang?)"
+    counts = [(r.get("inserts"), r.get("modifies"), r.get("deletes")) for r in results]
+    assert counts == [
+        (2, 0, None), (None, 2, None), (None, None, 0),  # batch 1: 1,2 new
+        (1, 1, None), (None, 2, None), (None, None, 0),  # batch 2: 3 new, 2 mod
+    ], counts
+    got = {(r.k, r.v) for r in table.read().collect()}
+    assert got == {(1, "u"), (2, "u"), (3, "u")}, got
+
+
+def test_journal_false_update_delete_on_empty_table(spark, tmp_path):
+    """journal=False update_fields/delete against a never-written table:
+    the fully-empty observed plan must still deliver counts of 0, not
+    hang or TypeError."""
+    table = KeyedTable(
+        spark, str(tmp_path / "t"), ["k"], KV_SCHEMA, n_buckets=4, journal=False
+    )
+    assert table.update_fields(_kv(spark, [(1, "x")]), ["v"])["modifies"] == 0
+    assert table.delete(_kv(spark, [(1, "x")]).select("k"))["deletes"] == 0
+    assert table.read().count() == 0

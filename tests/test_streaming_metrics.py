@@ -440,3 +440,114 @@ def test_error_bursts_batch_chain_bridges_straggler_into_burst(
         for r in spark.read.parquet(sink).collect()
     }
     assert got == {(1, mk(5), mk(25), 4)}, got
+
+
+def test_error_bursts_late_complete_chain_emitted(spark, tmp_path):
+    """ADVICE r7 #4: a late-delivered chain lying wholly before the open
+    burst's start-gap boundary, but itself reaching min_count, is a
+    complete burst the batch twin reports — it must be emitted, not
+    silently dropped. Batch 1 opens (100, 105); batch 2 delivers the
+    whole late run {5,10,15} (ancient vs 100-10, count 3 >= 2 → emit)
+    and t=200 (closes the open burst). Expected: (5,15,3) AND
+    (100,105,2)."""
+    import datetime
+    import time
+
+    from tv_event_streaming_spark.streaming.metrics import error_bursts
+
+    t0 = datetime.datetime(2024, 1, 1)
+    mk = lambda mins: t0 + datetime.timedelta(minutes=mins)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "src")
+    batch1 = [(i, mk(m), 1, "error", None, None) for i, m in enumerate([100, 105])]
+    batch2 = [
+        (10, mk(5), 1, "error", None, None),
+        (11, mk(10), 1, "error", None, None),
+        (12, mk(15), 1, "error", None, None),
+        (13, mk(200), 1, "error", None, None),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # file mtime orders the micro-batches
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        error_bursts(stream, gap_minutes=10, min_count=2)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.burst_start, r.burst_end, r.n_errors)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {(1, mk(5), mk(15), 3), (1, mk(100), mk(105), 2)}, got
+
+
+def test_error_bursts_late_chain_touching_emitted_burst_dropped(
+    spark, tmp_path
+):
+    """The no-overlap guard on the late-chain emission: a late chain
+    within gap of an ALREADY-EMITTED burst end may belong to that run
+    (the alert can't be retracted), so it is discarded even at
+    min_count. Batch 1: burst {0,5} closed by t=100 (emits (0,5,2),
+    opens (100)). Batch 2: late chain {12,17} — count 2 >= 2 but
+    12 - 5 = 7 <= gap 10 → dropped; t=200 closes (100) which is
+    sub-min_count alone... so open burst {100,200} merges (gap 100 > 10
+    breaks: t=200 CLOSES (100,100,1) which is sub-min → no emission).
+    Expected: only (0,5,2)."""
+    import datetime
+    import time
+
+    from tv_event_streaming_spark.streaming.metrics import error_bursts
+
+    t0 = datetime.datetime(2024, 1, 1)
+    mk = lambda mins: t0 + datetime.timedelta(minutes=mins)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "src")
+    batch1 = [
+        (0, mk(0), 1, "error", None, None),
+        (1, mk(5), 1, "error", None, None),
+        (2, mk(100), 1, "error", None, None),
+    ]
+    batch2 = [
+        (10, mk(12), 1, "error", None, None),
+        (11, mk(17), 1, "error", None, None),
+        (12, mk(200), 1, "error", None, None),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        error_bursts(stream, gap_minutes=10, min_count=2)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.burst_start, r.burst_end, r.n_errors)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {(1, mk(0), mk(5), 2)}, got

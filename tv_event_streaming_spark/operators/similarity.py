@@ -1054,6 +1054,13 @@ def _seed_cell_assignment(
         .collect(),
         key=lambda r: r[0],
     )
+    if not cent_rows:
+        # path identity (ADVICE r7 #2): the vectorized path raises on a
+        # seedless corpus; silently emitting NULL cells here would make
+        # the auto-switch change the FAILURE MODE, not just the plan
+        raise ValueError(
+            f"no nonzero-norm centroid seeds with {id_col} < {n_centroids}"
+        )
     spark = embeddings.sparkSession
     cents_row = spark.createDataFrame(
         [
@@ -1468,6 +1475,16 @@ def _pq_codebook_row(
     spark = embeddings.sparkSession
     if codebook is None:
         codebook = pq_seed_codebook(embeddings, n_sub, k_codes, id_col, vec_col)
+    if not codebook or not codebook[0]:
+        # an allow_missing=True seeding over a fully-filtered corpus
+        # returns [] — encoding against zero codewords has no meaning,
+        # so fail descriptively instead of IndexError (ADVICE r7 #3);
+        # the SEARCH entry points (cosine_topk_pq_adc, ivfpq) instead
+        # degrade to their documented empty-result frames upstream.
+        raise ValueError(
+            "PQ codebook is empty (allow_missing seeding over a corpus "
+            "with no usable seed vectors?) — nothing to encode against"
+        )
     sub = len(codebook[0][0])
     entries = [
         (m, j, qsub)

@@ -20,6 +20,54 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _java_major_version() -> int | None:
+    """Best-effort JVM major version from ``$JAVA_HOME/release`` (the
+    file every JDK image ships; no subprocess). None when undetectable."""
+    java_home = os.environ.get("JAVA_HOME")
+    if not java_home:
+        return None
+    try:
+        with open(os.path.join(java_home, "release"), encoding="utf-8") as f:
+            for line in f:
+                if line.startswith("JAVA_VERSION="):
+                    ver = line.split("=", 1)[1].strip().strip('"')
+                    major = ver.split(".", 1)[0]
+                    # pre-9 scheme: "1.8.0_392" → major is the 2nd field
+                    if major == "1":
+                        major = ver.split(".")[1]
+                    return int(major)
+    except (OSError, ValueError, IndexError):
+        return None
+    return None
+
+
+def _driver_java_options() -> str:
+    """Driver JVM flags, gated on the detected Java version
+    (overridable wholesale via ``SPARK_GRAFT_DRIVER_JAVA_OPTS``).
+
+    GCLockerRetryAllocationCount is a JDK-17-era diagnostic flag; the
+    GCLocker itself was removed in JDK 24 (JEP-defunct), where an
+    unrecognized -XX option makes the JVM refuse to start — so the flag
+    is appended only when the detected major version still has it, and
+    ``-XX:+IgnoreUnrecognizedVMOptions`` rides along defensively for
+    point releases that drop individual flags early."""
+    override = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if override is not None:
+        return override
+    opts = (
+        "-XX:+IgnoreUnrecognizedVMOptions "
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+        "-XX:CICompilerCount=16"
+    )
+    major = _java_major_version()
+    if major is None or major < 24:
+        opts += (
+            " -XX:+UnlockDiagnosticVMOptions"
+            " -XX:GCLockerRetryAllocationCount=64"
+        )
+    return opts
+
+
 def get_spark(
     app_name: str = "tv-event-streaming-spark",
     master: str | None = None,
@@ -61,14 +109,10 @@ def get_spark(
         # too often" despite free heap — observed on 500 k-doc dedup
         # sweeps. The standard Spark-on-JDK17 mitigation is a bigger
         # retry budget (the lock holder exits within microseconds). The
-        # flag is diagnostic in JDK 17 — it must follow the unlock flag
-        # or the JVM refuses to start.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
-            "-XX:CICompilerCount=16 -XX:+UnlockDiagnosticVMOptions "
-            "-XX:GCLockerRetryAllocationCount=64",
-        )
+        # flag is diagnostic in JDK 17 (must follow the unlock flag) and
+        # GONE in JDK 24+ — _driver_java_options gates it on the
+        # detected Java version.
+        .config("spark.driver.extraJavaOptions", _driver_java_options())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )

@@ -47,7 +47,13 @@ def index_table(spark: SparkSession, path: str) -> KeyedTable:
             T.StructField("title_id", T.LongType(), False),
         ]
     )
-    return KeyedTable(spark, path, ["source_id", "genre_id", "title_id"], schema)
+    # journal=False: no CDC consumer tails the index (only `titles`
+    # feeds the enrichment cascade) and the journal's full-image
+    # parquet append was ~half the index MERGE wall at a 50 M-row
+    # batch (SCALE.md §6e profile; VERDICT r7 #5)
+    return KeyedTable(
+        spark, path, ["source_id", "genre_id", "title_id"], schema, journal=False
+    )
 
 
 def _to_title_records(decoded: DataFrame) -> DataFrame:

@@ -221,7 +221,9 @@ def start_running_totals(
 _BURST_OUT_SCHEMA = (
     "user_id bigint, burst_start timestamp, burst_end timestamp, n_errors bigint"
 )
-_BURST_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+_BURST_STATE_SCHEMA = (
+    "start_us bigint, last_us bigint, n bigint, emitted_end_us bigint"
+)
 
 
 def error_bursts(
@@ -246,6 +248,15 @@ def error_bursts(
     the final open burst stays in state rather than emitting a
     possibly-incomplete alert.
 
+    Lateness contract beyond that assumption (ADVICE r7 #4): a late
+    chain lying wholly before the open burst's start-gap boundary is
+    emitted as its OWN burst when it alone reaches ``min_count`` AND
+    sits clear (> gap) past the latest already-emitted burst end —
+    matching the batch twin, which would report it. A late chain that
+    might belong to an already-emitted run (the state can't retract an
+    alert) and sub-``min_count`` late fragments are discarded — only
+    those, not whole qualifying bursts.
+
     Scale: state is 3 longs per user with an open burst; each batch
     shuffles only that batch's error rows on user_id."""
     errors = events.filter(F.col("event_type") == "error").select(
@@ -257,14 +268,18 @@ def error_bursts(
         import datetime  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
-        start_us, last_us, n = (
-            state.get if state.exists else (None, None, 0)
+        start_us, last_us, n, emitted_end = (
+            state.get if state.exists else (None, None, 0, None)
         )
         out = []
 
         def close() -> None:
+            nonlocal emitted_end
             if n >= min_count:
                 out.append((start_us, last_us, n))
+                emitted_end = (
+                    last_us if emitted_end is None else max(emitted_end, last_us)
+                )
 
         ts_list = []
         for pdf in pdfs:
@@ -287,13 +302,21 @@ def error_bursts(
                 start_us, last_us, n = c_start, c_end, c_n
             elif c_end < start_us - gap_us:
                 # The whole chain is ancient — nothing in it reaches
-                # the open burst: it belongs to an already-elapsed run
-                # (possibly one already emitted — consecutive bursts
-                # are > gap apart, so start - gap is exactly the
-                # overlap boundary). Counting it anywhere would
-                # conjure an overlapping run; dropped like a
-                # post-watermark event (the docstring's lateness
-                # contract).
+                # the open burst. If it alone qualifies AND starts
+                # clear (> gap) past every emitted burst end, it is a
+                # complete late-delivered burst the batch twin would
+                # report: emit it (ADVICE r7 #4). Otherwise it belongs
+                # to an already-elapsed run (possibly one already
+                # emitted — counting it anywhere would conjure an
+                # overlapping run): dropped like a post-watermark
+                # event (the docstring's lateness contract).
+                if c_n >= min_count and (
+                    emitted_end is None or c_start - emitted_end > gap_us
+                ):
+                    out.append((c_start, c_end, c_n))
+                    emitted_end = (
+                        c_end if emitted_end is None else max(emitted_end, c_end)
+                    )
                 continue
             elif c_start - last_us > gap_us:
                 close()
@@ -307,7 +330,7 @@ def error_bursts(
                 start_us = min(start_us, c_start)
                 last_us = max(last_us, c_end)
                 n += c_n
-        state.update((start_us, last_us, n))
+        state.update((start_us, last_us, n, emitted_end))
         if not out:
             return
         yield pd.DataFrame(
