@@ -684,13 +684,17 @@ def simhash_near_pairs(
     byte-identical to the historical quarter scheme — pinned by
     test_simhash_near_pairs_auto_matches_m4_at_catalog_scale.
 
-    Recall beyond the distance-3 guarantee is the trade: a pair at
-    distance 4..max_hamming is found only if some key combination is
-    error-free — more likely under m=4's single-block keys than m=6's
-    triples — so widening ``m`` monotonically cuts cost but thins the
-    beyond-guarantee tail (measured m4-vs-m6 recall table: SCALE.md
-    §6f). Pass an explicit ``n_blocks`` to pin the trade; values
-    outside 4..16 raise (C(m,3) tables — a typo like m=60 would
+    Recall beyond the distance-3 guarantee is the trade, MEASURED
+    (SCALE.md §6f, exact ground truth at 50 k docs): recall at d ≤ 3 is
+    exactly 1.0 at every m; at d = 4..8 it decays with both distance
+    and m (m=4: 0.90 → 0.31; m=6: 0.69 → 0.04), and each auto rung
+    roughly halves the tail. The selection rule is therefore cost AND
+    recall: with ``max_hamming ≤ 3`` the auto default is LOSSLESS at
+    any corpus size; above 3 the output is a recall-decaying candidate
+    set at every m (even m=4 finds only 39% of true H≤8 pairs at
+    50 k docs) — pass an explicit ``n_blocks`` to pin the trade when
+    tail recall matters more than wall time, or tighten the threshold.
+    Values outside 4..16 raise (C(m,3) tables — a typo like m=60 would
     multiply the self-join input ~34 000× before any join runs).
 
     NOTE the verified OUTPUT is itself corpus-dependent: on a topically
