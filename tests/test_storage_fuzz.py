@@ -57,12 +57,16 @@ _op = st.tuples(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
-@given(ops=st.lists(_op, min_size=1, max_size=7))
+@given(ops=st.lists(_op, min_size=1, max_size=7), journal=st.booleans())
 def test_keyed_table_matches_model_on_random_op_sequences(
-    spark, tmp_path_factory, ops
+    spark, tmp_path_factory, ops, journal
 ):
+    """``journal`` is drawn too: the journal=False merge paths compute
+    their counts on a different plan (marker-column Observation riding
+    the data write) and must satisfy the same state + counts model;
+    the journal-replay invariant only applies when there IS a journal."""
     root = str(tmp_path_factory.mktemp("ktfuzz") / "t")
-    kt = KeyedTable(spark, root, ["k"], SCHEMA, n_buckets=4)
+    kt = KeyedTable(spark, root, ["k"], SCHEMA, n_buckets=4, journal=journal)
     model: dict[int, tuple[str | None, str | None]] = {}
 
     for kind, keys, tag in ops:
@@ -101,6 +105,8 @@ def test_keyed_table_matches_model_on_random_op_sequences(
 
     # 2. CDC journal replays to the same state: latest change per key
     # wins (one change row per key per version by construction)
+    if not journal:
+        return
     ch = kt.read_changes()
     latest = (
         ch.withColumn(

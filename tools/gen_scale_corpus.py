@@ -86,18 +86,29 @@ def generate(out_dir: str, n_docs: int, n_vecs: int, base: str) -> None:
     )
 
     vecs = rng.standard_normal((n_vecs, 64)).astype(np.float32)
+    # vectorized list<float> construction (2 M python sublists took
+    # minutes and GBs; offsets+values is one copy)
+    offsets = pa.array(np.arange(0, (n_vecs + 1) * 64, 64, dtype=np.int32))
+    emb_col = pa.ListArray.from_arrays(offsets, pa.array(vecs.reshape(-1)))
     emb = pa.table(
         {
             "vec_id": pa.array(range(n_vecs), pa.int64()),
-            "embedding": pa.array(
-                [v.tolist() for v in vecs], pa.list_(pa.float32())
-            ),
+            "embedding": emb_col,
             "label": pa.array(
                 rng.integers(0, 10, size=n_vecs).tolist(), pa.int32()
             ),
         }
     )
-    pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
+    # bounded row groups, same reason as documents: parquet splits at
+    # ROW-GROUP granularity, so a single-group file scans as ONE Spark
+    # task no matter how many cores exist — which silently serialized
+    # every map-side encode chain on the r7-era single-group embeddings
+    # (found round 8: d100 PQ walls were ~1-task-bound)
+    pq.write_table(
+        emb,
+        os.path.join(out_dir, "embeddings.parquet"),
+        row_group_size=min(32_768, n_vecs),
+    )
 
     for t in TABLES:
         src = os.path.join(base, f"{t}.parquet")
