@@ -381,6 +381,31 @@ def test_seed_cell_assignment_empty_seeds_raise_on_both_paths(spark):
             )
 
 
+def test_auto_n_centroids_default_is_sqrt_n(spark, sf_dir):
+    """knn_graph/semantic_dedup default n_centroids to the √N rule
+    (≥ 16) — the same make-scale-the-default pattern as the simhash
+    n_blocks auto-derivation. At the 2 000-vector sf0.1 corpus that is
+    max(16, 44) = 44; the auto output must equal the explicit-44 call
+    (a dispatch, not a third code path), and the catalog's explicit 16
+    stays available and different."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    want = max(16, int(n**0.5))
+    assert S._auto_n_centroids(emb) == want
+    auto = {tuple(r) for r in S.knn_graph(emb, k=2).collect()}
+    explicit = {
+        tuple(r) for r in S.knn_graph(emb, k=2, n_centroids=want).collect()
+    }
+    assert auto == explicit and len(auto) > 0
+    sd_auto = {tuple(r) for r in S.semantic_dedup(emb, threshold=0.35).collect()}
+    sd_explicit = {
+        tuple(r)
+        for r in S.semantic_dedup(emb, n_centroids=want, threshold=0.35).collect()
+    }
+    assert sd_auto == sd_explicit and len(sd_auto) == S.nonzero_norm(emb).count()
+    spark.catalog.clearCache()
+
+
 def test_pq_encode_empty_codebook_raises_descriptively(spark):
     """pq_codes/pq_encode against an [] codebook (what allow_missing
     seeding returns on a seedless corpus) must raise the documented

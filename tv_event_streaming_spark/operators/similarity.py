@@ -1174,9 +1174,21 @@ def _seed_cell_assignment_vectorized(
     )
 
 
+def _auto_n_centroids(embeddings: DataFrame) -> int:
+    """√N centroid count (≥ 16) from one columnar count — the knob
+    default for the all-pairs-within-cell operators, where assignment
+    costs N·C·d and in-cell pairs N²·d/C, so C ≈ √N balances them at
+    O(N^1.5·d). The same make-scale-the-default pattern as
+    dedup._auto_n_blocks (VERDICT r7: 'the caller at 100 TB is exactly
+    the person who won't read the docstring')."""
+    import math  # noqa: PLC0415
+
+    return max(16, math.isqrt(embeddings.count()))
+
+
 def semantic_dedup(
     embeddings: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1212,7 +1224,13 @@ def semantic_dedup(
     Exactness: quantized assignment ties to the lowest centroid id;
     pair cosines are exact int64 dots with one final double division —
     bit-identical across engines, so the threshold comparison (and
-    hence ``kept``) is oracle-hashable."""
+    hence ``kept``) is oracle-hashable.
+
+    ``n_centroids=None`` (the default) derives √N from one count — the
+    scale behavior without reading this docstring; pass an explicit
+    value to pin cells (the catalog pins 16)."""
+    if n_centroids is None:
+        n_centroids = _auto_n_centroids(embeddings)
     assign = _seed_cell_assignment(embeddings, n_centroids, id_col, vec_col)
     pairs = _cell_pairs(assign, id_col, vec_col, max_cell_size, threshold)
     dropped = (
@@ -1278,7 +1296,7 @@ def _cell_pairs(
 def knn_graph(
     embeddings: DataFrame,
     k: int = 3,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell_size: int = 2048,
@@ -1318,9 +1336,15 @@ def knn_graph(
 
     Exactness: same quantized arithmetic as every similarity entry —
     int64 dots, one double division, rank ties to the lowest neighbor
-    id — so ranks and cosines are oracle-hashable."""
+    id — so ranks and cosines are oracle-hashable.
+
+    ``n_centroids=None`` (the default) derives the √N rule above from
+    one count — the scale behavior is the default; pass an explicit
+    value to pin cells (the catalog pins 16)."""
     from pyspark.sql import Window  # noqa: PLC0415
 
+    if n_centroids is None:
+        n_centroids = _auto_n_centroids(embeddings)
     assign = _seed_cell_assignment(embeddings, n_centroids, id_col, vec_col)
     pairs = _cell_pairs(assign, id_col, vec_col, max_cell_size, threshold=None)
     directed = pairs.select(
