@@ -406,6 +406,133 @@ def test_auto_n_centroids_default_is_sqrt_n(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_auto_n_centroids_accepts_approx_rows_hint(spark, sf_dir):
+    """ADVICE r8 low: the √N auto rule accepts a caller-known row count
+    (catalog/footer statistics) so no count job runs, mirroring
+    dedup.simhash_near_pairs' approx_rows; the hinted result must equal
+    the counted one, and the hint must thread through the public
+    operators unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assert S._auto_n_centroids(emb, approx_rows=n) == max(16, int(n**0.5))
+    assert S._auto_n_centroids(emb, approx_rows=10_000) == 100
+    hinted = {tuple(r) for r in S.knn_graph(emb, k=2, approx_rows=n).collect()}
+    counted = {tuple(r) for r in S.knn_graph(emb, k=2).collect()}
+    assert hinted == counted and len(hinted) > 0
+    spark.catalog.clearCache()
+
+
+def test_two_level_assignment_dispatch_and_exact_degenerate(spark, sf_dir):
+    """The two-level coarse-then-fine search (the r8/r9-ordered
+    O(N^1.5) fix) dispatches at n_centroids ≥ 256 — and NOT below, so
+    the catalog pins (C=16) and the sf-scale √N auto values stay on the
+    byte-pinned exact path. When every fine centroid is its own coarse
+    group (C ≤ 16 forced two-level), the search degenerates to the
+    exact scan and must be bit-identical to the one-level path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # dispatch: C=300 through the public dispatcher == direct two-level
+    via_dispatch = {
+        (r[0], r[1])
+        for r in S._seed_cell_assignment(emb, 300).select("vec_id", "cell").collect()
+    }
+    direct = {
+        (r[0], r[1])
+        for r in S._seed_cell_assignment_two_level(
+            S.nonzero_norm(emb), 300, "vec_id", "embedding"
+        )
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert via_dispatch == direct and len(direct) > 0
+    # below the threshold the dispatcher stays one-level-exact
+    below = {
+        (r[0], r[1])
+        for r in S._seed_cell_assignment(emb, 255).select("vec_id", "cell").collect()
+    }
+    exact_255 = {
+        (r[0], r[1])
+        for r in S._seed_cell_assignment(emb, 255, two_level=False)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert below == exact_255
+    # degenerate two-level (every fine is coarse) == exact one-level
+    forced = {
+        (r[0], r[1])
+        for r in S._seed_cell_assignment(emb, 16, vectorized=True, two_level=True)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    exact_16 = {
+        (r[0], r[1])
+        for r in S._seed_cell_assignment(emb, 16, vectorized=True, two_level=False)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert forced == exact_16
+    spark.catalog.clearCache()
+
+
+def test_two_level_assignment_cocolates_duplicates_and_ties(spark):
+    """The property semantic dedup actually needs from cells: identical
+    input vectors get identical cells (same scores → same coarse group
+    → same fine argmax), and exact ties resolve to the lowest centroid
+    id at both levels — plus the empty-seed failure mode stays a
+    ValueError, same as both one-level paths."""
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(400)
+    ]
+    # plant duplicate pairs far outside the seed range
+    rows += [(1000 + i, list(rows[i][1])) for i in range(40, 60)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cells = {
+        r.vec_id: r.cell
+        for r in S._seed_cell_assignment_two_level(
+            S.nonzero_norm(emb), 300, "vec_id", "embedding"
+        ).collect()
+    }
+    assert len(cells) == len(rows)
+    for i in range(40, 60):
+        assert cells[1000 + i] == cells[i], i
+    # determinism: a second run is identical
+    again = {
+        r.vec_id: r.cell
+        for r in S._seed_cell_assignment_two_level(
+            S.nonzero_norm(emb), 300, "vec_id", "embedding"
+        ).collect()
+    }
+    assert again == cells
+    # duplicate-centroid tie-break (centroids 1 and 3 identical): every
+    # tied vector lands in cell 1 — mirrors the one-level tie pin
+    tie_rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.5, 0.5, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.5, 0.5, 0.0, 0.0]),
+        (10, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    tie_emb = spark.createDataFrame(
+        tie_rows, "vec_id bigint, embedding array<float>"
+    )
+    tie_cells = {
+        r.vec_id: r.cell
+        for r in S._seed_cell_assignment_two_level(
+            S.nonzero_norm(tie_emb), 4, "vec_id", "embedding"
+        ).collect()
+    }
+    assert tie_cells[10] == 1 and tie_cells[3] == 1, tie_cells
+    empty = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="no nonzero-norm centroid seeds"):
+        S._seed_cell_assignment_two_level(
+            S.nonzero_norm(empty), 2, "vec_id", "embedding"
+        )
+
+
 def test_pq_encode_empty_codebook_raises_descriptively(spark):
     """pq_codes/pq_encode against an [] codebook (what allow_missing
     seeding returns on a seedless corpus) must raise the documented

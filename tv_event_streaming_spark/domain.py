@@ -30,6 +30,8 @@ scale linearly with part/customer and derive map-side.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -95,6 +97,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+# Exact row counts straight from parquet footers — the statistics a real
+# metastore publishes (Iceberg/Delta snapshot row counts). Driver-side
+# pyarrow metadata reads: no Spark job, no scan, O(footer) per file.
+# Feeds the engine's approx_rows hints (simhash n_blocks ladder, ANN
+# centroid counts) so auto-knob selection never pays a count() pass.
+_ROWS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count of ``{sf_dir}/{name}.parquet`` from file-footer
+    metadata (single file or a directory of part files). Exact, but
+    intended as the ``approx_rows`` hint — auto-knob ladders tolerate
+    2× error, footers give 0."""
+    key = (sf_dir, name)
+    hit = _ROWS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        n = sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        n = pq.read_metadata(path).num_rows
+    _ROWS_CACHE[key] = n
+    return n
 
 
 # Dim cardinalities fold into the derivation arithmetic as literals —

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..domain import load_table
+from ..domain import load_table, table_rows
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -739,7 +739,9 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(
-        D.simhash_signatures(docs, portable=True), max_hamming=8
+        D.simhash_signatures(docs, portable=True),
+        max_hamming=8,
+        approx_rows=table_rows(sf_dir, "documents"),
     )
 
 
@@ -777,7 +779,9 @@ FROM reach GROUP BY node
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.simhash_near_pairs(
-        D.simhash_signatures(docs, portable=True), max_hamming=8
+        D.simhash_signatures(docs, portable=True),
+        max_hamming=8,
+        approx_rows=table_rows(sf_dir, "documents"),
     )
     return D.neardup_clusters(docs, pairs)
 
@@ -825,7 +829,9 @@ FROM cl
 def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.simhash_near_pairs(
-        D.simhash_signatures(docs, portable=True), max_hamming=8
+        D.simhash_signatures(docs, portable=True),
+        max_hamming=8,
+        approx_rows=table_rows(sf_dir, "documents"),
     )
     return D.leakage_safe_splits(docs, pairs)
 
