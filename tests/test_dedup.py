@@ -185,6 +185,29 @@ def test_simhash_near_pairs_auto_matches_m4_at_catalog_scale(spark, docs_with_du
             D.simhash_near_pairs(sigs, n_blocks=bad)
 
 
+def test_simhash_auto_rung_crossing_warns_on_partial_recall(spark, docs_with_dups):
+    """ADVICE r8 low: the auto ladder crossing past m=4 with
+    max_hamming > 3 silently halves the d>3 tail per rung — the engine
+    must SAY so. Warned exactly when (auto, m>4, max_hamming>3); quiet
+    for pinned n_blocks, small corpora, or the lossless d≤3 regime."""
+    import warnings
+
+    sigs = D.simhash_signatures(docs_with_dups)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        D.simhash_near_pairs(sigs, max_hamming=8, approx_rows=500_000)
+        assert len(w) == 1 and "partial-recall" in str(w[0].message)
+    for kwargs in (
+        {"max_hamming": 3, "approx_rows": 500_000},  # lossless regime
+        {"max_hamming": 8, "approx_rows": 5_000},  # stays on m=4
+        {"max_hamming": 8, "n_blocks": 6},  # pinned = explicit trade
+    ):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            D.simhash_near_pairs(sigs, **kwargs)
+            assert not w, (kwargs, [str(x.message) for x in w])
+
+
 def test_auto_n_blocks_ladder():
     """Rung boundaries of the auto-derivation: smallest m whose
     conservative key width (m-3)·floor(64/m) clears ceil(log2(N))+3.

@@ -551,3 +551,21 @@ def test_error_bursts_late_chain_touching_emitted_burst_dropped(
         for r in spark.read.parquet(sink).collect()
     }
     assert got == {(1, mk(0), mk(5), 2)}, got
+
+
+def test_burst_state_schema_is_four_longs():
+    """Pin the widened burst state shape (VERDICT r9 #4): 4 long fields
+    incl. emitted_end_us. Widening this schema again invalidates every
+    live checkpoint (Spark's state-store schema check rejects restart) —
+    whoever changes this must re-document the checkpoint-migration note
+    in error_bursts' docstring and bump it knowingly."""
+    from tv_event_streaming_spark.streaming.metrics import _BURST_STATE_SCHEMA
+
+    fields = [f.strip().split() for f in _BURST_STATE_SCHEMA.split(",")]
+    assert [f[0] for f in fields] == [
+        "start_us",
+        "last_us",
+        "n",
+        "emitted_end_us",
+    ]
+    assert all(f[1] == "bigint" for f in fields)

@@ -712,6 +712,23 @@ def simhash_near_pairs(
             signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
             approx_rows = signatures.count()
         n_blocks = _auto_n_blocks(approx_rows)
+        if n_blocks > _N_BLOCKS_LADDER[0] and max_hamming > 3:
+            # ADVICE r8: beyond the pigeonhole-guaranteed d ≤ 3, tail
+            # recall (d = 4..max_hamming) decays ~2× per auto rung
+            # (measured, SCALE.md §6f) — crossing a rung silently on a
+            # bigger corpus would change WHAT the caller gets, not just
+            # how fast. Surface it; the caller pins n_blocks or
+            # tightens max_hamming to freeze the trade.
+            import warnings  # noqa: PLC0415
+
+            warnings.warn(
+                f"simhash_near_pairs auto-selected n_blocks={n_blocks} for "
+                f"~{approx_rows} rows; with max_hamming={max_hamming} > 3 "
+                "the d>3 tail is partial-recall and shrinks ~2x per rung "
+                "vs n_blocks=4 (d<=3 pairs are always exact). Pin n_blocks "
+                "or set max_hamming<=3 to make this explicit.",
+                stacklevel=2,
+            )
     if not 4 <= n_blocks <= _N_BLOCKS_MAX:
         raise ValueError(
             f"n_blocks must be in 4..{_N_BLOCKS_MAX}, got {n_blocks}"

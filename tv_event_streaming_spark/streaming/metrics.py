@@ -257,8 +257,19 @@ def error_bursts(
     alert) and sub-``min_count`` late fragments are discarded — only
     those, not whole qualifying bursts.
 
-    Scale: state is 3 longs per user with an open burst; each batch
-    shuffles only that batch's error rows on user_id."""
+    Scale: state is 4 longs per user with an open burst (burst start,
+    last error, count, latest EMITTED burst end — the 4th field backs
+    the late-chain contract above); each batch shuffles only that
+    batch's error rows on user_id.
+
+    CHECKPOINT COMPATIBILITY: the state schema widened from 3 longs to
+    4 (``_BURST_STATE_SCHEMA``) when the late-chain emission guard
+    landed. Spark's state-store schema check rejects a restart of this
+    operator from a checkpoint written by the 3-field version
+    (STATE_STORE_* schema-incompatibility error at query start) — such
+    streams need a NEW ``checkpointLocation`` (reprocessing from the
+    source or accepting the alert-history reset); there is no in-place
+    state migration."""
     errors = events.filter(F.col("event_type") == "error").select(
         "user_id", "ts"
     )

@@ -318,42 +318,29 @@ class KeyedTable:
                 self._read_manifest(self.current_version()), touched
             )
             cur = current.alias("c")
-            merged = cur.join(upd, self.key_cols, "left_outer").select(
-                *[F.col(f"c.{k}").alias(k) for k in self.key_cols],
-                *[
-                    (
-                        F.when(F.col(f"u.{self.key_cols[0]}").isNotNull(), F.col(f"u.{f}"))
-                        .otherwise(F.col(f"c.{f}"))
-                        .alias(f)
-                        if f in fields
-                        else F.col(f"c.{f}").alias(f)
-                    )
-                    for f in current.columns
-                    if f not in self.key_cols
-                ],
-            )
+            # one left-outer join + ONE field-merge projection list,
+            # shared by both publish paths (ADVICE r8: the journaled and
+            # no-journal branches carried byte-identical 25-line copies)
+            joined = cur.join(upd, self.key_cols, "left_outer")
+            hit = F.col(f"u.{self.key_cols[0]}").isNotNull()
+            key_sel = [F.col(f"c.{k}").alias(k) for k in self.key_cols]
+            merge_sel = [
+                (
+                    F.when(hit, F.col(f"u.{f}")).otherwise(F.col(f"c.{f}")).alias(f)
+                    if f in fields
+                    else F.col(f"c.{f}").alias(f)
+                )
+                for f in current.columns
+                if f not in self.key_cols
+            ]
+            merged = joined.select(*key_sel, *merge_sel)
             v = self.current_version() + 1
             obs = Observation()
             if not self.journal:
                 # modifies = |cur ∩ upd|, observed on the data write via
                 # a marker column on the same left-outer join
-                marked = cur.join(upd, self.key_cols, "left_outer").select(
-                    *[F.col(f"c.{k}").alias(k) for k in self.key_cols],
-                    *[
-                        (
-                            F.when(
-                                F.col(f"u.{self.key_cols[0]}").isNotNull(),
-                                F.col(f"u.{f}"),
-                            )
-                            .otherwise(F.col(f"c.{f}"))
-                            .alias(f)
-                            if f in fields
-                            else F.col(f"c.{f}").alias(f)
-                        )
-                        for f in current.columns
-                        if f not in self.key_cols
-                    ],
-                    F.col(f"u.{self.key_cols[0]}").isNotNull().alias("_upd__"),
+                marked = joined.select(
+                    *key_sel, *merge_sel, hit.alias("_upd__")
                 ).observe(
                     obs,
                     F.sum(F.when(F.col("_upd__"), 1).otherwise(0)).alias(
