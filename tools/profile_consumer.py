@@ -84,6 +84,13 @@ def profile(spark, sf_dir: str, fetch_limit: int) -> dict:
             "materialize_sec": round(timings.get("materialize_sec", 0.0), 3),
             "titles_merge_sec": round(timings.get("titles_merge_sec", 0.0), 3),
             "index_merge_sec": round(timings.get("index_merge_sec", 0.0), 3),
+            # index MERGE phase split (KeyedTable.upsert timings):
+            # probe = dedup-shuffle map side + emptiness probe,
+            # touched = dedup completion into cache + bucket-id collect,
+            # publish = touched-bucket read + merge joins + data write
+            "index_probe_sec": round(timings.get("probe_sec", 0.0), 3),
+            "index_touched_sec": round(timings.get("touched_sec", 0.0), 3),
+            "index_publish_sec": round(timings.get("publish_sec", 0.0), 3),
             "stream_overhead_sec": round(wall - in_process, 3),
             "n_batches": timings.get("n_batches", 0),
             "rows": timings.get("rows", 0),

@@ -123,7 +123,9 @@ def start_consumer(
             idx = index_from_arrays(
                 batch.select(F.col("id").alias("title_id"), "source_ids", "genre_ids")
             )
-            index.upsert(idx)
+            # when profiling, also split the index MERGE into its phases
+            # (probe/touched/publish — see KeyedTable.upsert timings)
+            index.upsert(idx, timings=stage_timings)
             if stage_timings is not None:
                 t3 = time.perf_counter()
                 s = stage_timings

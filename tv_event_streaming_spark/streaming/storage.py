@@ -212,7 +212,9 @@ class KeyedTable:
             F.sum(F.when(F.col("event_name") == "REMOVE", 1).otherwise(0)).alias("deletes"),
         )
 
-    def upsert(self, batch: DataFrame) -> dict[str, int]:
+    def upsert(
+        self, batch: DataFrame, timings: dict | None = None
+    ) -> dict[str, int]:
         """MERGE: insert new keys, overwrite existing ones (the
         reference's idempotent put). Appends the change journal.
 
@@ -228,12 +230,30 @@ class KeyedTable:
         leg that lineage is a double explode + key-dedup shuffle of the
         full exploded set, and re-running it dominated the cascade
         (measured 2.7×: 279 s → 104 s on the 50 M-row merge, SCALE.md
-        §6e)."""
+        §6e).
+
+        ``timings``: pass a dict to accumulate per-phase wall seconds
+        (profiling, tools/profile_index_merge.py): ``probe_sec`` —
+        persist + emptiness probe (the dedup shuffle's map side);
+        ``touched_sec`` — dedup completion into the cache + the
+        bucket-id collect; ``publish_sec`` — touched-bucket read,
+        merge joins, data (+journal) write, manifest flip."""
+        import time  # noqa: PLC0415
+
+        t = time.perf_counter if timings is not None else None
         batch = batch.dropDuplicates(self.key_cols).persist()
         try:
+            t0 = t() if t else 0.0
             if batch.isEmpty():  # empty micro-batches must not write versions
                 return {"version": self.current_version(), "inserts": 0, "modifies": 0}
+            t1 = t() if t else 0.0
             touched = self._touched_buckets(batch)
+            if timings is not None:
+                t2 = t()
+                timings["probe_sec"] = timings.get("probe_sec", 0.0) + (t1 - t0)
+                timings["touched_sec"] = timings.get("touched_sec", 0.0) + (
+                    t2 - t1
+                )
             current = self._read_buckets(
                 self._read_manifest(self.current_version()), touched
             )
@@ -274,7 +294,12 @@ class KeyedTable:
                         "modifies"
                     ),
                 ).drop("_m__")
+                tp = t() if t else 0.0
                 out = self._publish(v, new_state, touched, None, obs)
+                if timings is not None:
+                    timings["publish_sec"] = timings.get("publish_sec", 0.0) + (
+                        t() - tp
+                    )
                 out.pop("deletes", None)
                 return out
             new_state = untouched.unionByName(batch)
@@ -290,7 +315,12 @@ class KeyedTable:
                     F.lit("MODIFY").alias("event_name"), F.lit(v).cast("long").alias("version"), "*"
                 )
             )
+            tp = t() if t else 0.0
             out = self._publish(v, new_state, touched, self._observed(changes, obs), obs)
+            if timings is not None:
+                timings["publish_sec"] = timings.get("publish_sec", 0.0) + (
+                    t() - tp
+                )
             out.pop("deletes", None)
             return out
         finally:
