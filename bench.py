@@ -83,7 +83,14 @@ def canary(spark) -> float:
     comparisons against the documented ±15% cross-day host drift
     (three rounds of "is it the box or the code" forensics — r6
     verdict What's-wrong #3). NEVER change this plan: its value is
-    being identical in every round's record."""
+    being identical in every round's record.
+
+    DEMOTED to tie-breaker from round 10 (SCALE.md §6g): the round-9
+    same-code A/B showed this 0.5 s wall is JIT/startup-shaped and
+    over-responds to host state (−24% on identical plans while raw
+    moved −5.6%); ``canary5_sec`` (:func:`canary_sustained`) is the
+    primary divisor. Still recorded every round — the r7 normalized
+    series rides it, and two witnesses moving together = host."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
