@@ -209,20 +209,34 @@ def test_simhash_auto_rung_crossing_warns_on_partial_recall(spark, docs_with_dup
 
 
 def test_auto_n_blocks_ladder():
-    """Rung boundaries of the auto-derivation: smallest m whose
-    conservative key width (m-3)·floor(64/m) clears ceil(log2(N))+3.
-    m=4 carries every catalog corpus; the d100/d1000 scale corpora land
-    on m=5/m=6; a 100 TB-scale doc count tops out at m=8."""
+    """Rung boundaries of the auto-derivation: argmin over the ladder
+    of cost(m, N) = C(m,3)·(1 + N/2^(W(m)+1)), W(m) = narrowest
+    (m−3)-block key width (16/25/31/40 bits for m=4/5/6/8). m=4
+    carries every catalog corpus; BOTH scale decades (d100 500 k,
+    d1000 5 M) now sit on m=5 — the r10 cost-model fix after the
+    cross-rung measurement showed the old population rule's m=6 at
+    5 M docs doubled the band tables for nothing (SCALE.md §6g); a
+    100 TB-scale doc count still tops out at m=8."""
     assert D._auto_n_blocks(1) == 4
     assert D._auto_n_blocks(500) == 4
-    assert D._auto_n_blocks(5_000) == 4
-    assert D._auto_n_blocks(8_192) == 4  # last m=4 rung: need 13+3 = 16
-    assert D._auto_n_blocks(8_193) == 5
-    assert D._auto_n_blocks(500_000) == 5  # d100: need 19+3 = 22 ≤ 24
-    assert D._auto_n_blocks(5_000_000) == 6  # d1000: need 23+3 = 26 ≤ 30
-    assert D._auto_n_blocks(10**9) == 8
+    assert D._auto_n_blocks(5_000) == 4  # catalog pin regime unchanged
+    assert D._auto_n_blocks(50_000) == 4  # d10 drops m=5 → m=4
+    # 4→5 crossover: 4·(1+N/2^17) vs 10·(1+N/2^26) → N = 6·2^26/2038
+    assert D._auto_n_blocks(197_572) == 4
+    assert D._auto_n_blocks(197_573) == 5
+    assert D._auto_n_blocks(500_000) == 5  # d100
+    assert D._auto_n_blocks(5_000_000) == 5  # d1000: was 6 pre-cost-model
+    # 5→6 crossover: 10·(1+N/2^26) vs 20·(1+N/2^32) → N = 10·2^32/620
+    assert D._auto_n_blocks(69_273_666) == 5
+    assert D._auto_n_blocks(69_273_667) == 6
+    assert D._auto_n_blocks(10**9) == 6
+    # 6→8 crossover: 20·(1+N/2^32) vs 56·(1+N/2^41) → N ≈ 7.77e9
+    assert D._auto_n_blocks(10**10) == 8
     assert D._auto_n_blocks(10**11) == 8  # 100 TB of 1 kB docs
     assert D._auto_n_blocks(10**13) == 8  # ladder cap — tighten max_hamming instead
+    # monotone nondecreasing in N (argmin of linear-in-N costs)
+    picks = [D._auto_n_blocks(n) for n in range(1, 10**8, 999_983)]
+    assert picks == sorted(picks)
 
 
 def test_simhash_near_pairs_auto_rung_matches_reference(spark):

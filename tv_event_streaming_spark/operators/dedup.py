@@ -625,24 +625,41 @@ def simhash_signatures(
     return counts.select("doc_id", sig.alias("simhash"))
 
 
-#: `n_blocks` auto-selection ladder: smallest m whose conservative
-#: minimum bucket-key width (m-3 blocks × floor(64/m) bits) clears
-#: ceil(log2(N)) + 3 slack bits, so bucket population N/2^width stays
-#: ≤ ~1/8 and the candidate term Σ C(bucket,2) stays output-sized.
-#: m=4 → 16-bit keys (good to N ≤ 2^13), m=5 → 24 (≤ 2^21),
-#: m=6 → 30 (≤ 2^27), m=8 → 40 bits — at N=10^11 (a 100 TB corpus of
-#: 1 kB docs) bucket population is still 0.09, so the ladder tops out
-#: at C(8,5)=56 tables; beyond that, tighten max_hamming, not m.
+#: `n_blocks` auto-selection ladder: the m minimizing the TOTAL work
+#: model cost(m, N) = C(m,3) · N · (1 + N / 2^(W(m)+1)) — the first
+#: factor is the exploded/shuffled row count (C(m,3) band tables × N
+#: rows), the second the random-collision candidate tax (expected
+#: Σ C(bucket,2) per table ≈ N²/2^(W+1) at key width W = the narrowest
+#: (m−3)-block combination: m=4 → 16 bits, m=5 → 25, m=6 → 31,
+#: m=8 → 40). Ties go to the smaller m (fewer tables AND more d>3
+#: recall). This replaced the round-8 "bucket population ≤ 1/8"
+#: slack rule after the d100→d1000 cross-rung measurement (SCALE.md
+#: §6g): that rule crossed m=5→m=6 at N=2 M where the cost model says
+#: m=5 stays ~1.9× cheaper until N ≈ 69 M — the measured 20.4× wall
+#: step at 10× data was exactly the 10→20 table ratio. Crossovers:
+#: m=4 ≤ 197 572 < m=5 ≤ 69 273 666 < m=6 ≤ ~7.77e9 < m=8. At
+#: N=10^11 (a 100 TB corpus of 1 kB docs) m=8's candidate tax is
+#: ~0.05× the exploded rows; beyond ~2^41 docs tighten max_hamming,
+#: not m. Output-invariant for max_hamming ≤ 3 (the pigeonhole
+#: guarantee is exact at every m); for d > 3 a smaller m only ADDS
+#: recall, so no auto caller loses pairs vs the old rule.
 _N_BLOCKS_LADDER = (4, 5, 6, 8)
 _N_BLOCKS_MAX = 16  # C(16,13)=560 tables — past any sane fan-out
 
 
 def _auto_n_blocks(n_docs: int) -> int:
-    need = max(1, int(n_docs) - 1).bit_length() + 3
+    import math  # noqa: PLC0415
+
+    n = max(1, int(n_docs))
+    best_m, best_cost = None, None
     for m in _N_BLOCKS_LADDER:
-        if (m - 3) * (64 // m) >= need:
-            return m
-    return _N_BLOCKS_LADDER[-1]
+        base, rem = divmod(64, m)
+        widths = sorted(base + (1 if i < rem else 0) for i in range(m))
+        w = sum(widths[: m - 3])  # narrowest combo key = worst case
+        cost = math.comb(m, 3) * (1.0 + n / float(1 << (w + 1)))
+        if best_cost is None or cost < best_cost:  # strict: ties → small m
+            best_m, best_cost = m, cost
+    return best_m
 
 
 def simhash_near_pairs(
@@ -670,13 +687,17 @@ def simhash_near_pairs(
     candidates for 239 M true pairs (8.75× wasted verifies, max bucket
     17 661).
 
-    **Default is AUTO** (``n_blocks=None``): the engine derives m from
-    the corpus size via :data:`_N_BLOCKS_LADDER` — smallest m whose key
-    width clears log2(N)+3 — the same pattern as the centroid-assignment
-    auto-switch (similarity.py), so the 100 TB caller gets non-saturating
-    blocking without reading this docstring. N comes from
-    ``approx_rows`` when the caller already knows it (zero extra work;
-    an estimate within 2× picks the same rung — rungs are ≥ 2^8 apart);
+    **Default is AUTO** (``n_blocks=None``): the engine picks the m
+    minimizing the total-work model cost(m, N) = C(m,3)·N·(1 +
+    N/2^(W(m)+1)) — exploded band rows plus the random-collision
+    candidate tax (see :data:`_N_BLOCKS_LADDER`) — the same
+    make-scale-the-default pattern as the centroid-assignment
+    auto-switch (similarity.py), so the 100 TB caller gets
+    non-saturating blocking without reading this docstring. N comes
+    from ``approx_rows`` when the caller already knows it (zero extra
+    work; near a crossover a 2× mis-estimate can flip the rung, but at
+    a crossover the two rungs cost the same by construction — the
+    choice is immaterial exactly where the estimate can sway it);
     otherwise the signature frame is persisted and counted (one small
     action over a 2-long-per-doc frame, reused by both self-join sides,
     which the m=4-era code persisted anyway as the wider ``quarters``).
