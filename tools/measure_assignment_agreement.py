@@ -13,8 +13,10 @@ Jaccard is the consumer-visible one (a moved vector only changes the
 output if its near-duplicate neighborhood straddles the cell change).
 
 Run: `python tools/measure_assignment_agreement.py [sf_dir ...]`
-(defaults to the shipped sf0.1 plus /tmp/scale_corpus/d10 when
-present). Prints one JSON line per (corpus, C).
+(defaults to /tmp/scale_corpus/d10 and d100, where C = √N crosses the
+vectorized (64) and two-level (256) dispatch thresholds so both paths
+are real; at the shipped sf dirs C ≤ 44 and the auto dispatch never
+reaches two-level). Prints one JSON line per (corpus, C).
 """
 
 from __future__ import annotations
@@ -59,6 +61,7 @@ def measure(spark, sf_dir: str) -> dict:
         kept_one = {
             r.vec_id
             for r in S.semantic_dedup(emb, n_centroids=c)
+            .filter("kept")
             .select("vec_id")
             .collect()
         }
@@ -66,12 +69,12 @@ def measure(spark, sf_dir: str) -> dict:
         kept_two = {
             r.vec_id
             for r in S.semantic_dedup(emb, n_centroids=c)
+            .filter("kept")
             .select("vec_id")
             .collect()
         }
     finally:
         S._TWO_LEVEL_MIN_CENTROIDS = old
-    dropped_one = total and (n - len(kept_one))
     inter = len(kept_one & kept_two)
     union = len(kept_one | kept_two)
     emb.unpersist()
@@ -81,7 +84,7 @@ def measure(spark, sf_dir: str) -> dict:
         "n_centroids": c,
         "cell_agreement": round(agree / total, 5) if total else None,
         "moved_vectors": total - agree,
-        "dedup_dropped_exact": int(dropped_one or 0),
+        "dedup_dropped_exact": n - len(kept_one),
         "dedup_dropped_two_level": n - len(kept_two),
         "dedup_kept_jaccard": round(inter / union, 5) if union else None,
     }
@@ -92,7 +95,7 @@ def main() -> None:
 
     dirs = sys.argv[1:] or [
         d
-        for d in ("/root/testdata/sf0.1", "/tmp/scale_corpus/d10")
+        for d in ("/tmp/scale_corpus/d10", "/tmp/scale_corpus/d100")
         if os.path.isdir(d)
     ]
     spark = get_spark(app_name="assignment-agreement")

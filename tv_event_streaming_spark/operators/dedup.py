@@ -468,18 +468,17 @@ def neardup_clusters(
     )
     n_docs = int(label_obs.get["n_docs"] or 0)
     # Size the loop's partition count from the MEASURED frames (both
-    # counts rode the checkpoint jobs for free), capped at cluster
-    # parallelism: the per-round frames are one row per doc / per edge,
-    # so ~500k rows per task keeps tasks meaty while a tiny graph runs
-    # on 2 partitions instead of scheduling defaultParallelism trivial
-    # tasks per stage per round (at sf0.1: 4.3s → 1.6s for the loop).
-    n_par = max(
-        2,
-        min(
-            spark.sparkContext.defaultParallelism,
-            -(-max(n_edges, n_docs) // 500_000),
-        ),
-    )
+    # counts rode the checkpoint jobs for free): ~500k rows per task
+    # keeps tasks meaty while a tiny graph runs on 2 partitions instead
+    # of scheduling defaultParallelism trivial tasks per stage per round
+    # (at sf0.1: 4.3s → 1.6s for the loop). DELIBERATELY NOT capped at
+    # defaultParallelism: on a densified pair graph (the relation can be
+    # quadratic in spots even when the pipeline is linear — 346 M edges
+    # from 5 M docs on the d1000 corpus, SCALE.md §6g) a cap makes
+    # per-task hash-agg state grow linearly with data (10.8 M rows/task
+    # at d1000 = measured heap OOM in a 16 GiB local JVM); uncapped, the
+    # per-task footprint is a constant and extra waves just pipeline.
+    n_par = max(2, -(-max(n_edges, n_docs) // 500_000))
     # narrow (shuffle-free) re-slices of the checkpointed frames
     edges = edges.coalesce(n_par)
     labels = labels.coalesce(n_par)
