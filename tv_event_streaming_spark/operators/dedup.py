@@ -385,27 +385,42 @@ def neardup_clusters(
     unique, so any engine/iteration order produces identical output —
     which is what makes this oracle-checkable.
 
-    Implementation: iterative min-label propagation over DataFrame
-    joins. Each round does (1) an edge-propagation step — neighbor-min
-    via (edges ⋈ labels) + groupBy-min, l1 = min(label, neighbor
-    mins) — and (2) a POINTER-JUMP step through the FRESH value —
-    l2 = min(l1, old_label[l1]) — the shortcutting trick from the
-    large-star/small-star family. Jumping through l1 (not the stale
-    label) matters: it chases the already-improved chain (a stale-label
-    jump measured one extra round at sf0.1 for the same cost). The jump
-    shortcuts label CHAINS, so it bounds rounds at O(log diameter) when
-    min-id chains form; on graphs whose component minimum sits at a
-    chain end (small reach), propagation still pays ~diameter/2 rounds
-    (measured 7 at sf0.1) — which is why the loop's per-round LATENCY,
-    not its shuffle volume, is what the knobs below minimize.
+    Implementation: min-label propagation WITH EDGE CONTRACTION over
+    DataFrame joins (the contraction idea from the large-star/
+    small-star CC family, Kiveris et al. 2014). Each round, on the
+    CONTRACTED label graph — whose node ids are the current labels, so
+    no edges⋈labels join is ever needed for propagation:
 
-    Each round's labels are ``localCheckpoint``ed: persist alone does
-    NOT truncate the logical plan, and the doubling lineage makes
-    analysis time explode after ~10 rounds (measured: hang vs
-    1s/round). The convergence metric (#labels changed) rides the
-    checkpoint action as an ``Observation`` — one job per round, no
-    separate ``count()`` action. An empty pair graph short-circuits to
-    the identity labeling with zero rounds.
+    1. neighbor-min: ``l1(x) = min(x, min(src) over edges into x)`` —
+       one groupBy of the edge frame;
+    2. POINTER JUMP through the FRESH value: ``l2 = min(l1, l1[l1])``
+       — shortcuts label chains, bounding rounds at O(log diameter);
+    3. compose onto the node labels (one N-sized join against the
+       label-class-sized ``l2`` delta);
+    4. CONTRACT: rewrite both edge endpoints through ``l2``, drop
+       self-loops, dedupe.
+
+    Contraction is what makes the loop linear on DENSIFIED pair
+    graphs (§6g: 173 M pairs from 5 M docs — near-dup relations are
+    locally quadratic even when the pipeline is linear): a clique
+    collapses to one label in a single round, so its edges VANISH from
+    round 2 onward, and total edge-shuffle volume is ~O(E) instead of
+    O(rounds·E). The pre-contraction loop re-shuffled the full 346 M-row
+    edge frame every round — measured 2–4× the wall of the whole
+    contracted run at d1000, with heap-OOM risk riding the per-task
+    agg state. Fixpoint and output are UNCHANGED: label classes only
+    merge, labels only decrease to reachable ids, and the loop ends
+    when no cross-class edge remains — at which point every class
+    label is its component minimum (the unique fixpoint the oracle
+    checks).
+
+    Each round's labels and contracted edges are ``localCheckpoint``ed:
+    persist alone does NOT truncate the logical plan, and the doubling
+    lineage makes analysis time explode after ~10 rounds (measured:
+    hang vs 1s/round). The convergence metric (#cross-class edges
+    left) rides the edge checkpoint as an ``Observation`` — one job
+    per round, no separate ``count()`` action. An empty pair graph
+    short-circuits to the identity labeling with zero rounds.
 
     During the loop (only — the upstream pair pipeline keeps its
     session config) AQE is disabled and ``spark.sql.shuffle.partitions``
@@ -478,70 +493,78 @@ def neardup_clusters(
     # per-task hash-agg state grow linearly with data (10.8 M rows/task
     # at d1000 = measured heap OOM in a 16 GiB local JVM); uncapped, the
     # per-task footprint is a constant and extra waves just pipeline.
-    n_par = max(2, -(-max(n_edges, n_docs) // 500_000))
-    # narrow (shuffle-free) re-slices of the checkpointed frames
-    edges = edges.coalesce(n_par)
-    labels = labels.coalesce(n_par)
-
     # Loop-only session tuning (see docstring): AQE off, shuffle
-    # partitions pinned to the loop's partition count. Saved/restored
-    # around the loop so the rest of the session is untouched.
+    # partitions re-pinned EACH ROUND to the current contracted edge
+    # frame's data-sized count. Saved/restored around the loop so the
+    # rest of the session is untouched.
     conf = spark.conf
     saved = {
         "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
         "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
     }
-    changed = -1
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", str(n_par))
         for _ in range(max_iters):
-            neigh = (
-                edges.join(labels, edges["src"] == labels["node"])
-                .groupBy("dst")
-                .agg(F.min("label").alias("_nl"))
+            n_par = max(2, -(-max(n_edges, n_docs) // 500_000))
+            conf.set("spark.sql.shuffle.partitions", str(n_par))
+            # 1. neighbor-min on the label graph: edge endpoints ARE
+            #    current labels, so no edges⋈labels join — one groupBy.
+            #    Only endpoints that can IMPROVE matter; others keep
+            #    their label implicitly (left joins below).
+            l1 = edges.groupBy("dst").agg(F.min("src").alias("_m")).select(
+                F.col("dst").alias("_old"),
+                F.least("dst", "_m").alias("_l1"),
             )
-            cur = labels.join(neigh, labels["node"] == neigh["dst"], "left").select(
-                "node",
-                F.col("label").alias("_old"),
-                F.least(F.col("label"), F.coalesce("_nl", "label")).alias("_l"),
+            # 2. pointer jump through the FRESH value: l2 = min(l1,
+            #    l1[l1]) — chases the already-improved chain.
+            jump = l1.select(
+                F.col("_old").alias("_jn"), F.col("_l1").alias("_jl")
             )
-            # pointer jump through the FRESH propagated value: the jump
-            # table is the already-materialized old mapping, so no
-            # re-evaluation of this round's propagation.
-            parent = labels.select(
-                F.col("node").alias("_pn"), F.col("label").alias("_pl")
-            )
-            cur = cur.join(parent, cur["_l"] == parent["_pn"], "left").select(
-                "node",
+            l2 = l1.join(jump, l1["_l1"] == jump["_jn"], "left").select(
                 "_old",
-                F.least(F.col("_l"), F.coalesce("_pl", "_l")).alias("_l"),
+                F.least(F.col("_l1"), F.coalesce("_jl", "_l1")).alias("_new"),
             )
-            merged = cur.select("node", "_old", F.col("_l").alias("label"))
-            # convergence count rides the checkpoint job as an
-            # Observation — one job per round, no separate count() action
+            # 3. compose onto node labels (N-sized ⋈ label-class-sized)
+            labels = (
+                labels.join(l2, labels["label"] == l2["_old"], "left")
+                .select("node", F.coalesce("_new", "label").alias("label"))
+                .localCheckpoint()
+            )
+            # 4. CONTRACT: rewrite endpoints through l2, drop self-loops,
+            #    dedupe. The next round's edge frame only keeps edges
+            #    that still cross label classes — a collapsed clique
+            #    contributes nothing from here on.
+            src_map = l2.select(
+                F.col("_old").alias("_so"), F.col("_new").alias("_sn")
+            )
+            dst_map = l2.select(
+                F.col("_old").alias("_do"), F.col("_new").alias("_dn")
+            )
+            rewired = (
+                edges.join(src_map, edges["src"] == src_map["_so"], "left")
+                .join(dst_map, edges["dst"] == dst_map["_do"], "left")
+                .select(
+                    F.coalesce("_sn", "src").alias("src"),
+                    F.coalesce("_dn", "dst").alias("dst"),
+                )
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+            )
             obs = Observation()
-            observed = merged.observe(
-                obs,
-                F.sum((F.col("label") != F.col("_old")).cast("long")).alias(
-                    "changed"
-                ),
-            )
-            new_labels = (
-                observed.select("node", "label").coalesce(n_par).localCheckpoint()
-            )
-            changed = int(obs.get["changed"] or 0)
-            labels = new_labels
-            if changed == 0:
+            edges = rewired.observe(
+                obs, F.count(F.lit(1)).alias("n_edges")
+            ).localCheckpoint()
+            n_edges = int(obs.get["n_edges"] or 0)
+            if n_edges == 0:
                 break
     finally:
         for k, v in saved.items():
             conf.set(k, v)
-    if changed != 0:
+    if n_edges != 0:
         raise RuntimeError(
             f"neardup_clusters did not converge in {max_iters} rounds "
-            f"({changed} labels still changing) — cluster_id would not be "
-            "the min-reachable id; raise max_iters"
+            f"({n_edges} cross-class edges left) — cluster_id would not "
+            "be the min-reachable id; raise max_iters"
         )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
