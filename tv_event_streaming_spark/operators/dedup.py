@@ -147,8 +147,10 @@ def ngram_jaccard_pairs(
     # sh feeds three branches (sizes, both join sides); Spark does not
     # share common sub-plans across branches, so persist to tokenize+
     # shingle+hash ONCE. The returned frame is lazy, so this function
-    # cannot unpersist; blocks are disk-spillable (MEMORY_AND_DISK) and
-    # freed by ContextCleaner once the frame is garbage-collected.
+    # cannot unpersist — and DataFrame persists are CacheManager-held
+    # until unpersist/clearCache (NOT freed on GC), so store serialized:
+    # a shingle frame is ~|tokens| rows and the resident footprint is
+    # paid for the rest of the session.
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     counts = _pair_shingle_counts(sh)
     return counts.select(
@@ -373,6 +375,50 @@ def minhash_dedup(
     )
 
 
+def _loop_checkpoint(df: DataFrame):
+    """Eager ``localCheckpoint`` for ITERATIVE loops, returning
+    ``(frame, free)`` — with two fixes over the stock call that only
+    matter when checkpoints feed the next round's joins:
+
+    - **Stats reset.** ``Dataset.localCheckpoint`` preserves the parent
+      plan's size ESTIMATE (``originStats``) into the ``LogicalRDD``.
+      Size estimates of joins are PRODUCTS of their children's
+      (SizeInBytesOnlyStatsPlanVisitor), so when round k's checkpoint
+      joins round k−1's checkpoints, the preserved BigInt's bit-length
+      grows GEOMETRICALLY with rounds — and Catalyst ends up spending
+      its planning time in Toom-Cook multiplication of megabit
+      integers (measured before this fix: 115 s to resolve a 40-node
+      chain; minutes at fuzz scale). Rebuilding the frame from the
+      checkpointed RDD (``internalCreateDataFrame`` — the same JVM hop
+      PySpark's Arrow ``createDataFrame`` rides) drops ``originStats``
+      and pins every round's estimate at the 63-bit session default.
+      Plan-choice impact: none in-loop (the preserved estimates were
+      astronomically over Long-size anyway, so nothing ever broadcast),
+      and downstream of the loop AQE re-plans from RUNTIME sizes.
+    - **Real ``free``.** ``DataFrame.unpersist`` only uncaches
+      CacheManager (SQL-cache) entries; a localCheckpoint's blocks are
+      an RDD-level persist it never sees. The returned ``free()``
+      unpersists the checkpointed RDD itself — without it an iterative
+      loop accumulates every superseded round's blocks for the session
+      lifetime (the d1000 OOM driver, §6g).
+
+    Storage level: PySpark's ``MEMORY_AND_DISK`` — which, unlike the
+    same-named Scala constant and the JVM-side checkpoint default, is
+    SERIALIZED (``deserialized=False``): ~3× smaller resident blocks,
+    spilling to disk under pressure instead of wedging the store."""
+    spark = df.sparkSession
+    ck = df.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+    jqe = ck._jdf.queryExecution()
+    out = DataFrame(
+        spark._jsparkSession.internalCreateDataFrame(
+            jqe.toRdd(), ck._jdf.schema(), False
+        ),
+        spark,
+    )
+    ck_rdd = jqe.analyzed().rdd()
+    return out, lambda: ck_rdd.unpersist(False)
+
+
 def neardup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -414,13 +460,31 @@ def neardup_clusters(
     label is its component minimum (the unique fixpoint the oracle
     checks).
 
-    Each round's labels and contracted edges are ``localCheckpoint``ed:
-    persist alone does NOT truncate the logical plan, and the doubling
-    lineage makes analysis time explode after ~10 rounds (measured:
-    hang vs 1s/round). The convergence metric (#cross-class edges
-    left) rides the edge checkpoint as an ``Observation`` — one job
-    per round, no separate ``count()`` action. An empty pair graph
+    Each round's labels and contracted edges are checkpointed via
+    :func:`_loop_checkpoint` (persist alone does NOT truncate the
+    logical plan, and the doubling lineage makes analysis time explode
+    after ~10 rounds — measured: hang vs 1s/round; the helper also
+    resets the checkpoint's preserved size ESTIMATE, whose bit-length
+    otherwise compounds geometrically across rounds and turns Catalyst
+    planning into megabit BigInt multiplication — measured 115 s for a
+    40-node chain). The convergence metric (#cross-class edges left)
+    rides the edge checkpoint as an ``Observation`` — one job per
+    round, no separate ``count()`` action. An empty pair graph
     short-circuits to the identity labeling with zero rounds.
+
+    Checkpoint MEMORY discipline (the d1000 lesson, §6g): all loop
+    checkpoints are stored SERIALIZED (see :func:`_loop_checkpoint`),
+    the round's ``l2`` label delta is itself checkpointed so the
+    edge-frame groupBy behind it runs ONCE per round rather than once
+    per consuming action, and each round EXPLICITLY frees the
+    superseded round's checkpoint blocks — localCheckpoint blocks are
+    RDD-level persists that neither ``DataFrame.unpersist`` nor GC
+    reclaims, so without this the loop accumulates every round's
+    multi-GB edge frame in the storage pool and starves execution
+    memory (measured at d1000: [AGGREGATE_OUT_OF_MEMORY] inside the
+    round's groupBy in a 16 GiB local JVM; on a real cluster the same
+    leak evicts hot blocks instead — strictly worse than freeing dead
+    ones).
 
     During the loop (only — the upstream pair pipeline keeps its
     session config) AQE is disabled and ``spark.sql.shuffle.partitions``
@@ -468,19 +532,20 @@ def neardup_clusters(
         )
         .select("_e.src", "_e.dst")
         .observe(edge_obs, F.count(F.lit(1)).alias("n_edges"))
-        .localCheckpoint()
     )
+    edges, free_edges = _loop_checkpoint(edges)
     n_edges = int(edge_obs.get["n_edges"] or 0)
     if n_edges == 0:
         # no near-dup pairs at all — every doc is its own cluster; skip
         # the loop (and its per-round job-scheduling latency) entirely
+        free_edges()
         return identity
     label_obs = Observation()
     labels = (
         docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
         .observe(label_obs, F.count(F.lit(1)).alias("n_docs"))
-        .localCheckpoint()
     )
+    labels, free_labels = _loop_checkpoint(labels)
     n_docs = int(label_obs.get["n_docs"] or 0)
     # Size the loop's partition count from the MEASURED frames (both
     # counts rode the checkpoint jobs for free): ~500k rows per task
@@ -516,19 +581,46 @@ def neardup_clusters(
                 F.least("dst", "_m").alias("_l1"),
             )
             # 2. pointer jump through the FRESH value: l2 = min(l1,
-            #    l1[l1]) — chases the already-improved chain.
+            #    l1[l1]) — chases the already-improved chain. l2 is
+            #    label-class-sized and read by TWO downstream actions
+            #    (label compose; edge rewrite, where it appears TWICE
+            #    as the endpoint maps) — checkpoint it so the edge-frame
+            #    groupBy behind l1 runs once per round instead of once
+            #    per consumer (at 346 M edges that groupBy IS the
+            #    round's cost; and even on a 40-node toy graph the
+            #    checkpointed round measures 2.5× faster than inlining
+            #    l2, because inline l2 plants the groupBy+self-join
+            #    subtree 3× in the round's plans — §6g).
             jump = l1.select(
                 F.col("_old").alias("_jn"), F.col("_l1").alias("_jl")
             )
-            l2 = l1.join(jump, l1["_l1"] == jump["_jn"], "left").select(
+            l2a = l1.join(jump, l1["_l1"] == jump["_jn"], "left").select(
                 "_old",
-                F.least(F.col("_l1"), F.coalesce("_jl", "_l1")).alias("_new"),
+                F.least(F.col("_l1"), F.coalesce("_jl", "_l1")).alias(
+                    "_new"
+                ),
+            )
+            # second jump in the SAME checkpoint job: one more
+            # label-class-sized self-join quadruples the per-round
+            # shortcut distance (1→3 hops), roughly halving rounds on
+            # path-shaped components — each avoided round saves a full
+            # edge-frame rewrite, the expensive leg at scale
+            jump2 = l2a.select(
+                F.col("_old").alias("_kn"), F.col("_new").alias("_kl")
+            )
+            l2, free_l2 = _loop_checkpoint(
+                l2a.join(jump2, l2a["_new"] == jump2["_kn"], "left").select(
+                    "_old",
+                    F.least(F.col("_new"), F.coalesce("_kl", "_new")).alias(
+                        "_new"
+                    ),
+                )
             )
             # 3. compose onto node labels (N-sized ⋈ label-class-sized)
-            labels = (
-                labels.join(l2, labels["label"] == l2["_old"], "left")
-                .select("node", F.coalesce("_new", "label").alias("label"))
-                .localCheckpoint()
+            new_labels, free_new_labels = _loop_checkpoint(
+                labels.join(l2, labels["label"] == l2["_old"], "left").select(
+                    "node", F.coalesce("_new", "label").alias("label")
+                )
             )
             # 4. CONTRACT: rewrite endpoints through l2, drop self-loops,
             #    dedupe. The next round's edge frame only keeps edges
@@ -551,10 +643,19 @@ def neardup_clusters(
                 .distinct()
             )
             obs = Observation()
-            edges = rewired.observe(
-                obs, F.count(F.lit(1)).alias("n_edges")
-            ).localCheckpoint()
+            new_edges, free_new_edges = _loop_checkpoint(
+                rewired.observe(obs, F.count(F.lit(1)).alias("n_edges"))
+            )
             n_edges = int(obs.get["n_edges"] or 0)
+            # all three checkpoints above are EAGER, so the superseded
+            # round's blocks are dead weight from here on — free them
+            # NOW (RDD-level persists: never CacheManager- or GC-freed;
+            # see the docstring's memory discipline)
+            free_labels()
+            free_edges()
+            free_l2()
+            labels, edges = new_labels, new_edges
+            free_labels, free_edges = free_new_labels, free_new_edges
             if n_edges == 0:
                 break
     finally:
@@ -751,7 +852,9 @@ def simhash_near_pairs(
         if approx_rows is None:
             # persist so the count action and both self-join sides all
             # read one materialization of the (expensive, per-token)
-            # signature job (disk-spillable; freed by ContextCleaner)
+            # signature job (serialized: DataFrame persists live in the
+            # CacheManager until unpersist/clearCache — NOT freed on GC
+            # — so resident caches should be as small as possible)
             signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
             approx_rows = signatures.count()
         n_blocks = _auto_n_blocks(approx_rows)
@@ -799,8 +902,10 @@ def simhash_near_pairs(
         F.explode(F.array(*keys)).alias("qq"),
     ).select("doc_id", "simhash", "qq.q", "qq.quarter")
     # both self-join sides read the same signature computation — persist
-    # so the (expensive, per-token-hash) signature job runs once
-    # (disk-spillable; freed by ContextCleaner — see ngram_jaccard_pairs)
+    # so the (expensive, per-token-hash) signature job runs once.
+    # Serialized: this frame is C(m,3)·N rows (50 M at m=5 / 5 M docs)
+    # and stays CacheManager-resident for the session — at that size the
+    # deserialized form alone can fill a 16 GiB executor's storage pool
     quarters = quarters.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = quarters.alias("a"), quarters.alias("b")
     cand = (

@@ -233,7 +233,7 @@ class KeyedTable:
         §6e).
 
         ``timings``: pass a dict to accumulate per-phase wall seconds
-        (profiling, tools/profile_index_merge.py): ``probe_sec`` —
+        (profiling, tools/profile_consumer.py): ``probe_sec`` —
         persist + emptiness probe (the dedup shuffle's map side);
         ``touched_sec`` — dedup completion into the cache + the
         bucket-id collect; ``publish_sec`` — touched-bucket read,
