@@ -1331,18 +1331,22 @@ def _auto_n_centroids(
 
     - **√N** keeps cells √N-sized — total O(N^1.5·d), but at small N
       the linear scan/shuffle terms dominate and √N's smaller C wins
-      (measured d100, 200 k vecs: 30.9 s vs bounded 32.5 s).
+      (r11 same-box bracket at 200 k vecs: √N C=447 56.8 s vs bounded
+      C=390 59.2 s).
     - **N/512 (bounded-cell)** caps expected cell size at ~512 so the
       pair term is LINEAR N·512·d while two-level assignment stays
-      ~2√C dots/vector — the 100 TB law (measured d1000, 2 M vecs:
-      276.3 s vs √N 312.8 s; decade slope 0.93 vs 1.005 — SCALE.md
-      §6h). Only possible since two-level assignment landed: one-level
-      at C=N/512 would itself be N²·d/512.
+      ~2√C dots/vector — the 100 TB law (r11 same-box at 500 k vecs:
+      bounded 139.5 s vs √N-family 187.6 s; r10 at 2 M: 276.3 vs
+      312.8 s, decade slope 0.93 vs 1.005 — SCALE.md §6h). Only
+      possible since two-level assignment landed: one-level at
+      C=N/512 would itself be N²·d/512.
 
     The ``max()`` form switches exactly where the formulas cross,
-    N = 512² = 262 144 — inside the measured bracket (√N wins at
-    200 k, bounded wins at 500 k and 2 M), so there is no separate
-    threshold knob to mis-tune. Same make-scale-the-default pattern as
+    N = 512² = 262 144 — inside the measured bracket (√N ahead at
+    200 k, bounded ahead at 500 k and 2 M), so there is no separate
+    threshold knob to mis-tune. The auto default's measured
+    d100→d1000 slope is **0.967** (SCALE.md §6h; was 1.005 under the
+    √N-only rule). Same make-scale-the-default pattern as
     dedup._auto_n_blocks (VERDICT r7: 'the caller at 100 TB is exactly
     the person who won't read the docstring').
 
