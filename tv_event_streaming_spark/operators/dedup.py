@@ -411,17 +411,25 @@ def _loop_checkpoint(df: DataFrame, session=None):
 
     Contracts (ADVICE r10):
 
-    - ``free()`` unpersists the checkpoint's blocks BLOCKING
-      (``unpersist(True)``): the caller's very next action is the round
-      that needed the memory, and async removal can lose the race under
-      exactly the pressure this helper exists to relieve. After
-      ``free()`` the returned frame — and any lazy, not-yet-checkpointed
-      derivative of it — is PERMANENTLY uncomputable
-      (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on re-read; localCheckpoint
-      truncates lineage, so there is nothing to recompute from). Call it
-      only once every dependent frame has itself been eagerly
-      checkpointed or fully materialized, and never act on the frame
-      afterwards.
+    - ``free(blocking=True)`` unpersists the checkpoint's blocks.
+      Blocking DEFAULT: the caller's very next action is typically the
+      round that needed the memory, and async removal can lose the
+      race under exactly the pressure this helper exists to relieve.
+      But the sync wait is a ~200 ms driver↔executor round-trip PER
+      FREE (measured r11: min-of-3 neardup_clusters at sf0.1 went
+      4.2 s → 7.7 s with blocking frees — the wait dominates
+      sub-second rounds), so iterative callers pass
+      ``blocking=False`` while their frames are small and switch to
+      blocking above a size threshold, where rounds are tens of
+      seconds and the memory race is real (the registry entry is
+      removed synchronously either way — only block deletion is
+      async). After ``free()`` the returned frame — and any lazy,
+      not-yet-checkpointed derivative of it — is PERMANENTLY
+      uncomputable (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on re-read;
+      localCheckpoint truncates lineage, so there is nothing to
+      recompute from). Call it only once every dependent frame has
+      itself been eagerly checkpointed or fully materialized, and
+      never act on the frame afterwards.
     - The stats-reset/free hop rides private CLASSIC-Spark internals
       (``_jdf``, ``SparkSession.internalCreateDataFrame``, ``LogicalRDD
       .rdd`` via py4j) — verified on the pinned PySpark 4.1.2. Under
@@ -447,8 +455,17 @@ def _loop_checkpoint(df: DataFrame, session=None):
         )
         ck_rdd = jqe.analyzed().rdd()
     except Exception:  # pragma: no cover — Connect / internals drift
-        return ck, lambda: None
-    return out, lambda: ck_rdd.unpersist(True)
+        return ck, lambda blocking=True: None
+    return out, lambda blocking=True: ck_rdd.unpersist(blocking)
+
+
+#: Row count above which the cluster loop's per-round checkpoint frees
+#: BLOCK until executors confirm deletion: below it the ~200 ms/free
+#: sync wait (measured r11) dominates sub-second rounds; above it the
+#: round is tens of seconds and the ADVICE r10 race (next round
+#: allocating before async deletion lands — the d1000 OOM regime)
+#: is the thing to pay for.
+_BLOCKING_FREE_MIN_ROWS = 5_000_000
 
 
 def neardup_clusters(
@@ -702,17 +719,24 @@ def neardup_clusters(
             # all three checkpoints above are EAGER, so the superseded
             # round's blocks are dead weight from here on — free them
             # NOW (RDD-level persists: never CacheManager- or GC-freed;
-            # see the docstring's memory discipline)
-            live.pop("labels")()
-            live.pop("edges")()
-            live.pop("l2")()
+            # see the docstring's memory discipline). Blocking only
+            # when the frames are big enough for the ADVICE r10 race
+            # (next round allocating before async deletion lands) to
+            # matter: the sync wait is ~200 ms/free (measured r11,
+            # _loop_checkpoint docstring) — noise against a 30 s d1000
+            # round, but 3.5 s of pure wait across a sub-second-round
+            # sf0.1 run. Registry removal is synchronous either way.
+            block = max(n_edges, n_docs) >= _BLOCKING_FREE_MIN_ROWS
+            live.pop("labels")(blocking=block)
+            live.pop("edges")(blocking=block)
+            live.pop("l2")(blocking=block)
             labels, edges = new_labels, new_edges
             live["labels"] = live.pop("new_labels")
             live["edges"] = live.pop("new_edges")
             if n_edges == 0:
                 # the final edge checkpoint is EMPTY and never read
                 # again — free it here or it lingers for the session
-                live.pop("edges")()
+                live.pop("edges")(blocking=False)
                 converged = True
                 break
     finally:

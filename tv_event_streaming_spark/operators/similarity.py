@@ -1414,9 +1414,10 @@ def semantic_dedup(
     degenerate cell degrades to parallel bounded tasks, never one
     O(cell²) straggler. Shuffles: the cell-census broadcast, one hash
     partition on (cell, block-pair), one distinct over dropped ids —
-    linear in candidates. At 100 TB raise ``n_centroids`` so cells stay
-    bounded (SemDeDup runs k≈10⁴ on web-scale corpora); seeds here are
-    the deterministic id<k convention the IVF entries share (swap in
+    linear in candidates. At 100 TB the DEFAULT already keeps cells
+    bounded (the auto rule goes C=N/512 above the crossover — SemDeDup
+    itself runs k≈10⁴ on web-scale corpora); seeds here are the
+    deterministic id<k convention the IVF entries share (swap in
     :func:`kmeans_centroids` output for trained cells).
 
     Exactness: quantized assignment ties to the lowest centroid id;
