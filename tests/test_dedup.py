@@ -544,3 +544,135 @@ def test_containment_catches_near_superset_jaccard_misses(spark):
     c, j = pairs[(1, 2)]
     assert c == 1.0  # all 8 of the short doc's 3-gram shingles are in the long doc
     assert j < 0.1
+
+
+class _JdfRaises:
+    """Proxy over a real checkpointed DataFrame whose ``_jdf`` access
+    raises a chosen exception — simulates Spark Connect (AttributeError)
+    vs an unrelated runtime failure (ValueError) at the internals hop."""
+
+    def __init__(self, inner, exc):
+        object.__setattr__(self, "_inner", inner)
+        object.__setattr__(self, "_exc", exc)
+
+    def __getattr__(self, name):
+        if name == "_jdf":
+            raise object.__getattribute__(self, "_exc")
+        return getattr(object.__getattribute__(self, "_inner"), name)
+
+
+def test_loop_checkpoint_degrade_narrow_and_warned(spark, monkeypatch):
+    """ADVICE r11: the internals hop in ``_loop_checkpoint`` degrades
+    ONLY on Connect-shaped failures (AttributeError / Py4JError), emits
+    a one-time RuntimeWarning when it does, and lets any other
+    exception propagate — a broad except would silently reintroduce
+    the per-round checkpoint block leak on classic Spark."""
+    # patch the CLASSIC class — pyspark.sql.DataFrame is the dispatch
+    # parent; instances are classic.dataframe.DataFrame, which
+    # overrides localCheckpoint, so patching the parent is a no-op
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    real_ck = _DF.localCheckpoint
+    df = spark.range(5)
+
+    # 1. AttributeError (Connect shape) -> soft degrade + one warning
+    monkeypatch.setattr(
+        _DF,
+        "localCheckpoint",
+        lambda self, **kw: _JdfRaises(
+            real_ck(self, **kw), AttributeError("_jdf")
+        ),
+    )
+    D._WARNED.discard("loop_checkpoint_degraded")
+    with pytest.warns(RuntimeWarning, match="degraded to a plain eager"):
+        out, free = D._loop_checkpoint(df)
+    assert out.count() == 5
+    assert free() is None  # no-op free on the degraded path
+    # one-time: a second degrade does NOT warn again
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        out2, _ = D._loop_checkpoint(df)
+    assert out2.count() == 5
+
+    # 2. an unrelated exception must PROPAGATE, not degrade
+    monkeypatch.setattr(
+        _DF,
+        "localCheckpoint",
+        lambda self, **kw: _JdfRaises(real_ck(self, **kw), ValueError("boom")),
+    )
+    with pytest.raises(ValueError, match="boom"):
+        D._loop_checkpoint(df)
+
+
+def test_cluster_loop_drain_survives_failing_free(spark, monkeypatch):
+    """ADVICE r11: in the non-returning-exit drain, one ``free()``
+    raising (py4j connection loss) must neither abort the drain of the
+    remaining checkpoints nor shadow the real in-flight error — the
+    caller still sees the non-convergence RuntimeError, plus a
+    diagnostic warning per failed free."""
+    orig = D._loop_checkpoint
+
+    def flaky(df, session=None):
+        out, free = orig(df, session=session)
+
+        def flaky_free(blocking=True):
+            # in-loop per-round frees on this tiny graph are
+            # blocking=False; the error-path drain calls free() with
+            # the blocking=True default — fail ONLY there, after
+            # really freeing, so the block-hygiene invariant holds
+            free(blocking)
+            if blocking:
+                raise OSError("py4j connection dropped")
+
+        return out, flaky_free
+
+    monkeypatch.setattr(D, "_loop_checkpoint", flaky)
+    for k in list(D._WARNED):
+        if k.startswith("cluster_loop_drain_failed"):
+            D._WARNED.discard(k)
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(39).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    ids0 = _persistent_rdd_ids(spark)
+    with pytest.warns(RuntimeWarning, match="error-path drain"):
+        with pytest.raises(RuntimeError, match="did not converge"):
+            D.neardup_clusters(docs, pairs, max_iters=2)
+    assert not (_persistent_rdd_ids(spark) - ids0), (
+        "drain must continue past a failing free and free the rest"
+    )
+
+
+def test_cluster_loop_rebind_failure_warns(spark, monkeypatch):
+    """ADVICE r11: if the loop's private session worked but the final
+    rebind hop to the caller's session fails (internals drift), the
+    contract violation — a returned frame bound to the PRIVATE session
+    — must be observable as a RuntimeWarning, not silent."""
+
+    class _NoRebind:
+        """Proxy over the real JVM session that hides exactly the
+        rebind entry point; everything else (newSession, conf, ...)
+        passes through."""
+
+        def __init__(self, real):
+            object.__setattr__(self, "_real", real)
+
+        def __getattr__(self, name):
+            if name == "internalCreateDataFrame":
+                raise AttributeError("internalCreateDataFrame (drift)")
+            return getattr(object.__getattribute__(self, "_real"), name)
+
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(39).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    monkeypatch.setattr(
+        spark, "_jsparkSession", _NoRebind(spark._jsparkSession)
+    )
+    with pytest.warns(RuntimeWarning, match="could not be rebound"):
+        out = D.neardup_clusters(docs, pairs)
+    # still correct — only the session binding degraded
+    assert {r.cluster_id for r in out.collect()} == {0}
+    assert out.sparkSession is not spark

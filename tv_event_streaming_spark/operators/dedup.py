@@ -20,11 +20,38 @@ the pairwise paths.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import normalized, staged_tokens, word_ngrams_from
+
+try:  # absent only on a pure Spark Connect client install
+    from py4j.protocol import Py4JError as _Py4JError
+except ImportError:  # pragma: no cover — Connect-only environment
+    class _Py4JError(Exception):
+        """Placeholder: py4j not installed, so it can never be raised."""
+
+
+#: Exactly the failures the classic-Spark internals hops are ALLOWED to
+#: degrade on: missing private attrs under Spark Connect
+#: (``AttributeError``) or a JVM signature/py4j drift (``Py4JError``).
+#: Anything else — OOM, analysis errors, interrupts — must propagate:
+#: a broad except here silently reintroduces the per-round checkpoint
+#: block leak on classic Spark (ADVICE r11).
+_INTERNALS_ERRORS = (AttributeError, _Py4JError)
+
+_WARNED: set[str] = set()
+
+
+def _warn_once(key: str, msg: str) -> None:
+    """``warnings.warn`` once per process per key — the degraded paths
+    below can fire once per loop round; one diagnostic is signal."""
+    if key not in _WARNED:
+        _WARNED.add(key)
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
 
 
 def portable_hash64(col: Column, seed: int | None = None) -> Column:
@@ -454,7 +481,16 @@ def _loop_checkpoint(df: DataFrame, session=None):
             spark,
         )
         ck_rdd = jqe.analyzed().rdd()
-    except Exception:  # pragma: no cover — Connect / internals drift
+    except _INTERNALS_ERRORS as exc:  # pragma: no cover — Connect/drift
+        _warn_once(
+            "loop_checkpoint_degraded",
+            "iterative-loop checkpoint degraded to a plain eager "
+            f"checkpoint ({exc!r}): stats pinning and per-round block "
+            "freeing are OFF, so long loops will accumulate checkpoint "
+            "blocks for the session lifetime (see _loop_checkpoint "
+            "docstring). Expected under Spark Connect; on classic "
+            "Spark this indicates a py4j/JVM internals drift.",
+        )
         return ck, lambda blocking=True: None
     return out, lambda blocking=True: ck_rdd.unpersist(blocking)
 
@@ -745,9 +781,20 @@ def neardup_clusters(
         if not converged:
             # non-convergence or mid-round exception: nothing is
             # returned, so EVERY live checkpoint (including the
-            # would-be labels) is dead weight — free them all
-            for free in live.values():
-                free()
+            # would-be labels) is dead weight — free them all. Each
+            # free is individually guarded: one failed unpersist (e.g.
+            # py4j connection loss) must neither abort the drain nor
+            # shadow the real in-flight exception (ADVICE r11).
+            for name, free in live.items():
+                try:
+                    free()
+                except Exception as exc:  # noqa: BLE001
+                    _warn_once(
+                        f"cluster_loop_drain_failed:{name}",
+                        f"failed to free loop checkpoint {name!r} "
+                        f"during error-path drain: {exc!r} — its "
+                        "blocks stay resident for the session",
+                    )
     if n_edges != 0:
         raise RuntimeError(
             f"neardup_clusters did not converge in {max_iters} rounds "
@@ -767,8 +814,20 @@ def neardup_clusters(
             ),
             spark,
         )
-    except Exception:  # pragma: no cover — Connect / internals drift
-        pass
+    except _INTERNALS_ERRORS as exc:  # pragma: no cover — Connect/drift
+        if loop_spark is not spark:
+            # on classic Spark this is a real contract violation, not a
+            # soft degrade: the frame stays bound to the loop's private
+            # session, so the caller's temp views / SQL conf won't
+            # apply downstream — make it observable (ADVICE r11)
+            warnings.warn(
+                "neardup_clusters result could not be rebound to the "
+                f"caller's session ({exc!r}); the returned frame plans "
+                "under the loop's PRIVATE session — caller temp views "
+                "and SQL conf will not apply to downstream plans",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return out
 
 
