@@ -28,6 +28,13 @@ interpreted while their generated methods wait in the JIT queue; a
 fresh session runs the same plan 5-20x faster). On the 100 TB target
 those one-time costs amortize to zero; min-of-3 steady-state is the
 number that tracks plan quality. Cold timings still print on stderr.
+
+Hypervisor steal is sampled from ``/proc/stat`` around every entry and
+canary (r11 close-bench lesson: vmstat ``st`` bursts of 16-17% were the
+noise mechanism behind apparent movers). ``bench_full.json`` carries the
+per-entry ``steal`` map; the stdout summary carries ``steal_run_pct`` /
+``steal_max_pct`` so a mover can be dispositioned host-vs-code without a
+separate vmstat session.
 """
 
 from __future__ import annotations
@@ -251,6 +258,32 @@ def canary_strings(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def _proc_stat() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate ``cpu`` line of
+    ``/proc/stat`` — or None where it's unreadable (non-Linux).
+    ``steal/total`` over an interval is exactly vmstat's ``st``
+    column: the % of CPU time the hypervisor ran someone else while
+    this guest was runnable."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+    except OSError:
+        return None
+    if not parts or parts[0] != "cpu" or len(parts) < 2:
+        return None
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_pct(before, after) -> float | None:
+    """Steal % of total CPU ticks between two :func:`_proc_stat`
+    samples (None if either sample failed or no ticks elapsed)."""
+    if not before or not after or after[1] <= before[1]:
+        return None
+    return round(100.0 * (after[0] - before[0]) / (after[1] - before[1]), 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -258,8 +291,16 @@ def main() -> None:
     warmup(spark)
 
     timings: dict[str, float] = {}
+    # Hypervisor-steal witness (VERDICT r11 #4): the r11 close-bench
+    # forensics identified CPU steal (vmstat st=16-17%) as the noise
+    # mechanism behind apparent movers; recording steal around each
+    # entry makes that disposition mechanical instead of prose. A mover
+    # whose window shows double-digit steal is host, not code.
+    steal: dict[str, float] = {}
+    run_s0 = _proc_stat()
     for name in BENCH_QUERIES:
         entry = CATALOG[name]
+        entry_s0 = _proc_stat()
         t0 = time.perf_counter()
         entry.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold = time.perf_counter() - t0
@@ -295,18 +336,36 @@ def main() -> None:
             if attempt == 1 and elapsed > 10.0:
                 max_attempts = 2  # heavy entry: one more timed run, min of 2
         timings[name] = round(best, 3)
+        st = _steal_pct(entry_s0, _proc_stat())
+        if st is not None:
+            steal[name] = st
         print(
-            f"# {name}: {timings[name]:.3f}s (cold {cold:.3f}s)", file=sys.stderr
+            f"# {name}: {timings[name]:.3f}s (cold {cold:.3f}s"
+            + (f", steal {st:.1f}%" if st is not None else "")
+            + ")",
+            file=sys.stderr,
         )
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    canary_steal: dict[str, float] = {}
+    c_s0 = _proc_stat()
     canary_sec = canary(spark)
+    c_s1 = _proc_stat()
     canary5_sec = canary_sustained(spark)
+    c_s2 = _proc_stat()
     canary_str_sec = canary_strings(spark, sf_dir)
+    c_s3 = _proc_stat()
+    for key, pct in (
+        ("canary", _steal_pct(c_s0, c_s1)),
+        ("canary5", _steal_pct(c_s1, c_s2)),
+        ("canary_str", _steal_pct(c_s2, c_s3)),
+    ):
+        if pct is not None:
+            canary_steal[key] = pct
     print(
         f"# canary: {canary_sec:.3f}s  canary5: {canary5_sec:.3f}s"
-        f"  canary_str: {canary_str_sec:.3f}s",
+        f"  canary_str: {canary_str_sec:.3f}s  steal: {canary_steal}",
         file=sys.stderr,
     )
     streaming = None
@@ -338,6 +397,10 @@ def main() -> None:
         "catalog_total_normalized": round(total / canary_sec, 2),
         "catalog_total_normalized5": round(total / canary5_sec, 2),
         "streaming": streaming,
+        "steal": steal,
+        "canary_steal": canary_steal,
+        "steal_run_pct": _steal_pct(run_s0, _proc_stat()),
+        "steal_max_pct": round(max(steal.values()), 2) if steal else None,
     }
     details_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
@@ -363,6 +426,8 @@ def main() -> None:
         "canary_str_sec": canary_str_sec,
         "catalog_total_normalized": round(total / canary_sec, 2),
         "catalog_total_normalized5": round(total / canary5_sec, 2),
+        "steal_run_pct": full["steal_run_pct"],
+        "steal_max_pct": full["steal_max_pct"],
         "details": "bench_full.json",
     }
     if streaming is not None:
