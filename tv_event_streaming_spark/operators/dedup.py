@@ -500,7 +500,11 @@ def _loop_checkpoint(df: DataFrame, session=None):
 #: sync wait (measured r11) dominates sub-second rounds; above it the
 #: round is tens of seconds and the ADVICE r10 race (next round
 #: allocating before async deletion lands — the d1000 OOM regime)
-#: is the thing to pay for.
+#: is the thing to pay for. Placement measured on BOTH sides (r12,
+#: SCALE.md §6i): at 3.4 M edge rows async is ~19 % faster (gate says
+#: async), at 21.5 M rows blocking costs nothing measurable against
+#: ~17 s loop walls (gate says block) — the constant sits inside the
+#: measured bracket.
 _BLOCKING_FREE_MIN_ROWS = 5_000_000
 
 
