@@ -435,7 +435,7 @@ def main() -> None:
             k: streaming[k]
             for k in (
                 "total_sec", "produce_sec", "consume_sec", "enrich_sec",
-                "index_rows_per_sec",
+                "index_rows_per_sec", "steal_pct",
             )
             if k in streaming
         } or streaming

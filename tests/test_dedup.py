@@ -583,7 +583,7 @@ def test_loop_checkpoint_degrade_narrow_and_warned(spark, monkeypatch):
             real_ck(self, **kw), AttributeError("_jdf")
         ),
     )
-    D._WARNED.discard("loop_checkpoint_degraded")
+    D._WARNED.pop("loop_checkpoint_degraded", None)
     with pytest.warns(RuntimeWarning, match="degraded to a plain eager"):
         out, free = D._loop_checkpoint(df)
     assert out.count() == 5
@@ -631,7 +631,7 @@ def test_cluster_loop_drain_survives_failing_free(spark, monkeypatch):
     monkeypatch.setattr(D, "_loop_checkpoint", flaky)
     for k in list(D._WARNED):
         if k.startswith("cluster_loop_drain_failed"):
-            D._WARNED.discard(k)
+            D._WARNED.pop(k, None)
     docs = spark.range(40).select(F.col("id").alias("doc_id"))
     pairs = spark.range(39).select(
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")

@@ -43,8 +43,11 @@ def bench_cascade(spark, sf_dir: str, fetch_limit: int = 20) -> dict:
         publish,
     )
 
+    import bench  # noqa: PLC0415 — steal meter (lazy: bench loads CATALOG)
+
     root = tempfile.mkdtemp(prefix="stream_bench_")
     try:
+        steal0 = bench._proc_stat()
         d = derive_domain(spark, sf_dir)
         lookup = d["titles"].select(
             F.col("title_id").alias("id"),
@@ -94,6 +97,10 @@ def bench_cascade(spark, sf_dir: str, fetch_limit: int = 20) -> dict:
             "index_rows": n_index,
             "rows_per_sec": round(n_titles / total, 1) if total else None,
             "index_rows_per_sec": round(n_index / total, 1) if total else None,
+            # hypervisor steal over the whole cascade window (r12: the
+            # r11 cold/warm calibration spread is host-band; this makes
+            # the disposition mechanical, same meter as the catalog leg)
+            "steal_pct": bench._steal_pct(steal0, bench._proc_stat()),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

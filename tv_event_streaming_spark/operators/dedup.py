@@ -35,22 +35,31 @@ except ImportError:  # pragma: no cover — Connect-only environment
         """Placeholder: py4j not installed, so it can never be raised."""
 
 
-#: Exactly the failures the classic-Spark internals hops are ALLOWED to
-#: degrade on: missing private attrs under Spark Connect
-#: (``AttributeError``) or a JVM signature/py4j drift (``Py4JError``).
-#: Anything else — OOM, analysis errors, interrupts — must propagate:
-#: a broad except here silently reintroduces the per-round checkpoint
-#: block leak on classic Spark (ADVICE r11).
-_INTERNALS_ERRORS = (AttributeError, _Py4JError)
+def _internals_errors() -> tuple[type[BaseException], ...]:
+    """Exactly the failures the classic-Spark internals hops are
+    ALLOWED to degrade on: missing private attrs under Spark Connect
+    (``AttributeError``) or a JVM signature/py4j drift (``Py4JError``).
+    Anything else — OOM, analysis errors, interrupts — must propagate:
+    a broad except silently reintroduces the per-round checkpoint block
+    leak on classic Spark (ADVICE r11). A function, not a module-level
+    tuple: a class-referencing tuple global degrades the evidence
+    fingerprinter to whole-file fallback for every dedup-reaching
+    catalog entry (tests/test_catalog_oracle.py stale-granularity
+    contract)."""
+    return (AttributeError, _Py4JError)
 
-_WARNED: set[str] = set()
+
+#: keys already warned — dict bound to a literal ``{}`` (not ``set()``)
+#: so the evidence fingerprinter can pin it by assignment source
+#: instead of degrading to whole-file fallback
+_WARNED: dict[str, bool] = {}
 
 
 def _warn_once(key: str, msg: str) -> None:
     """``warnings.warn`` once per process per key — the degraded paths
     below can fire once per loop round; one diagnostic is signal."""
     if key not in _WARNED:
-        _WARNED.add(key)
+        _WARNED[key] = True
         warnings.warn(msg, RuntimeWarning, stacklevel=3)
 
 
@@ -481,7 +490,7 @@ def _loop_checkpoint(df: DataFrame, session=None):
             spark,
         )
         ck_rdd = jqe.analyzed().rdd()
-    except _INTERNALS_ERRORS as exc:  # pragma: no cover — Connect/drift
+    except _internals_errors() as exc:  # pragma: no cover — Connect/drift
         _warn_once(
             "loop_checkpoint_degraded",
             "iterative-loop checkpoint degraded to a plain eager "
@@ -818,7 +827,7 @@ def neardup_clusters(
             ),
             spark,
         )
-    except _INTERNALS_ERRORS as exc:  # pragma: no cover — Connect/drift
+    except _internals_errors() as exc:  # pragma: no cover — Connect/drift
         if loop_spark is not spark:
             # on classic Spark this is a real contract violation, not a
             # soft degrade: the frame stays bound to the loop's private
