@@ -35,6 +35,17 @@ noise mechanism behind apparent movers). ``bench_full.json`` carries the
 per-entry ``steal`` map; the stdout summary carries ``steal_run_pct`` /
 ``steal_max_pct`` so a mover can be dispositioned host-vs-code without a
 separate vmstat session.
+
+Round-12 sharpening: steal is ALSO sampled per timed attempt, and the
+recorded number is paired with the steal of exactly the attempt that
+produced the min (``steal_min`` map). The whole-entry window
+(``steal`` map) can show 8% steal while the min attempt ran in a quiet
+sub-window — per-attempt sampling makes the host-vs-code call exact
+instead of conservative. When the min attempt itself was contaminated
+(≥3% steal) the entry earns extra timed attempts from a bounded global
+budget (``_RETRY_BUDGET``), so one noisy burst doesn't become the
+round's recorded wall for that entry; a fully-noisy box exhausts the
+budget and the contamination stays visible in ``steal_min``.
 """
 
 from __future__ import annotations
@@ -297,6 +308,18 @@ def main() -> None:
     # entry makes that disposition mechanical instead of prose. A mover
     # whose window shows double-digit steal is host, not code.
     steal: dict[str, float] = {}
+    # Per-attempt refinement (round 12): steal of exactly the attempt
+    # that produced the recorded min — the whole-entry window above is
+    # conservative (it includes cold + all attempts), this one is the
+    # number the min actually ran under.
+    steal_min: dict[str, float] = {}
+    # Global budget of EXTRA attempts granted to entries whose min
+    # attempt was steal-contaminated (≥ _RETRY_STEAL_PCT). Bounded so a
+    # fully-noisy box adds ≤ ~1 min to the bench wall instead of
+    # doubling it; when the budget runs out the contamination is still
+    # recorded in steal_min for the disposition read.
+    _RETRY_STEAL_PCT = 3.0
+    retry_budget = 12
     run_s0 = _proc_stat()
     for name in BENCH_QUERIES:
         entry = CATALOG[name]
@@ -305,15 +328,9 @@ def main() -> None:
         entry.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold = time.perf_counter() - t0
         best = float("inf")
-        # Up to 3 timed runs; ALWAYS at least 2 unless a run lands ≤1.5 s
-        # (spikes are upward, so a fast run can't be one). Heaviness is
-        # judged from the first TIMED run, not the cold run: round 5's
-        # driver recorded simhash_signatures at 11.88 s because a >10 s
-        # cold spike downgraded the entry to a single timed attempt which
-        # also spiked (judge A/B: 1.16 s steady-state).
-        max_attempts = 3
-        attempt = 0
-        while attempt < max_attempts:
+        best_steal: float | None = None
+
+        def timed_attempt():
             # Attempt-scoped cache clear: builders persist shared
             # sub-plans (MEMORY_AND_DISK), and Spark's CacheManager
             # substitutes cached plans by LOGICAL-PLAN equality — so a
@@ -326,22 +343,59 @@ def main() -> None:
             # storage-memory hygiene between entries.
             spark.catalog.clearCache()
             time.sleep(0.3)  # let the C2 compile queue drain new classes
+            a_s0 = _proc_stat()
             t1 = time.perf_counter()
-            entry.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t1
-            best = min(best, elapsed)
+            entry.build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.perf_counter() - t1, _steal_pct(a_s0, _proc_stat())
+
+        # Up to 3 timed runs; ALWAYS at least 2 unless a run lands ≤1.5 s
+        # (spikes are upward, so a fast run can't be one). Heaviness is
+        # judged from the first TIMED run, not the cold run: round 5's
+        # driver recorded simhash_signatures at 11.88 s because a >10 s
+        # cold spike downgraded the entry to a single timed attempt which
+        # also spiked (judge A/B: 1.16 s steady-state).
+        max_attempts = 3
+        attempt = 0
+        while attempt < max_attempts:
+            elapsed, a_st = timed_attempt()
+            if elapsed < best:
+                best, best_steal = elapsed, a_st
             attempt += 1
             if best <= 1.5:  # already steady; don't burn bench wall-clock
                 break
             if attempt == 1 and elapsed > 10.0:
                 max_attempts = 2  # heavy entry: one more timed run, min of 2
+        # Steal-gated retries: the min attempt itself ran under steal —
+        # the recorded wall is host-inflated. Spend bounded extra
+        # attempts to find a quiet window; stop as soon as one lands.
+        while (
+            best > 1.5
+            and best_steal is not None
+            and best_steal >= _RETRY_STEAL_PCT
+            and retry_budget > 0
+        ):
+            retry_budget -= 1
+            elapsed, a_st = timed_attempt()
+            if elapsed < best:
+                best, best_steal = elapsed, a_st
+            if a_st is not None and a_st < _RETRY_STEAL_PCT:
+                break  # quiet attempt happened; min is now trustworthy
         timings[name] = round(best, 3)
         st = _steal_pct(entry_s0, _proc_stat())
         if st is not None:
             steal[name] = st
+        if best_steal is not None:
+            steal_min[name] = best_steal
         print(
             f"# {name}: {timings[name]:.3f}s (cold {cold:.3f}s"
             + (f", steal {st:.1f}%" if st is not None else "")
+            + (
+                f", steal@min {best_steal:.1f}%"
+                if best_steal is not None
+                else ""
+            )
             + ")",
             file=sys.stderr,
         )
@@ -398,9 +452,33 @@ def main() -> None:
         "catalog_total_normalized5": round(total / canary5_sec, 2),
         "streaming": streaming,
         "steal": steal,
+        "steal_min": steal_min,
         "canary_steal": canary_steal,
         "steal_run_pct": _steal_pct(run_s0, _proc_stat()),
         "steal_max_pct": round(max(steal.values()), 2) if steal else None,
+        # Max steal among the attempts that produced the recorded mins,
+        # over HEAVY entries only (recorded time > 1.5 s — the ones the
+        # mover analysis reads; sub-second entries have sub-second steal
+        # windows whose pct is all variance and whose absolute inflation
+        # is noise-floor). The honest "was any number that matters
+        # host-inflated" bound: steal_max_pct spans whole entry windows
+        # incl. discarded attempts, so it over-reads noise the recorded
+        # mins never saw.
+        "steal_min_max_pct": (
+            round(
+                max(
+                    (
+                        pct
+                        for nm, pct in steal_min.items()
+                        if timings.get(nm, 0.0) > 1.5
+                    ),
+                    default=0.0,
+                ),
+                2,
+            )
+            if steal_min
+            else None
+        ),
     }
     details_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
@@ -428,6 +506,7 @@ def main() -> None:
         "catalog_total_normalized5": round(total / canary5_sec, 2),
         "steal_run_pct": full["steal_run_pct"],
         "steal_max_pct": full["steal_max_pct"],
+        "steal_min_max_pct": full["steal_min_max_pct"],
         "details": "bench_full.json",
     }
     if streaming is not None:
