@@ -42,10 +42,11 @@ produced the min (``steal_min`` map). The whole-entry window
 (``steal`` map) can show 8% steal while the min attempt ran in a quiet
 sub-window — per-attempt sampling makes the host-vs-code call exact
 instead of conservative. When the min attempt itself was contaminated
-(≥3% steal) the entry earns extra timed attempts from a bounded global
-budget (``_RETRY_BUDGET``), so one noisy burst doesn't become the
-round's recorded wall for that entry; a fully-noisy box exhausts the
-budget and the contamination stays visible in ``steal_min``.
+(``_RETRY_STEAL_PCT`` = 3% steal) the entry earns extra timed attempts
+from a bounded global budget (``retry_budget`` = 12 across the run), so
+one noisy burst doesn't become the round's recorded wall for that
+entry; a fully-noisy box exhausts the budget and the contamination
+stays visible in ``steal_min``.
 """
 
 from __future__ import annotations
