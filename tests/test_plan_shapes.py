@@ -35,7 +35,10 @@ def n_exchanges(plan: str) -> int:
 
 def test_pq_encode_is_single_pass_map_side(spark, sf_dir):
     plan = plan_of(spark, "pq_encode", sf_dir)
-    assert n_exchanges(plan) == 0  # corpus never shuffles
+    # r12: ≤1 — the scan fan-out (scale-adaptive no-op on splittable
+    # inputs, tests/test_fanout.py); the encode itself still never
+    # shuffles the corpus
+    assert n_exchanges(plan) <= 1
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row codebook
     # column pruning reaches the scan: only the two needed columns
     m = re.search(r"ReadSchema: struct<([^>]*)", plan)
@@ -64,7 +67,10 @@ def test_seed_cell_assignment_auto_switch_plan_shape(spark, sf_dir):
     small, large = plan(16), plan(64)
     assert "MapInPandas" not in small and "EvalPython" not in small
     assert "MapInPandas" in large
-    assert n_exchanges(small) == 0 and n_exchanges(large) == 0  # map-side
+    # r12: the corpus pass fans out across cores when the scan is one
+    # unsplittable file (the ONLY exchange — scale-adaptive: no-op on
+    # inputs whose scan parallelizes, pinned by test_fanout.py)
+    assert n_exchanges(small) <= 1 and n_exchanges(large) <= 1
 
 
 def test_pq_index_is_persisted_for_the_adc_scan(spark, sf_dir):
@@ -73,9 +79,9 @@ def test_pq_index_is_persisted_for_the_adc_scan(spark, sf_dir):
     # re-inlines the whole encode pipeline per LUT reference
     plan = plan_of(spark, "ann_pq_adc", sf_dir)
     assert "InMemoryTableScan" in plan
-    # pq_codes builds the index in one map-side pass: the ONLY
-    # exchange left is the per-query top-k window
-    assert n_exchanges(plan) == 1
+    # pq_codes builds the index in one map-side pass: the per-query
+    # top-k window plus (r12) the scan fan-out inside the index build
+    assert n_exchanges(plan) <= 2
     spark.catalog.clearCache()
 
 
@@ -106,10 +112,20 @@ def test_rolling_window_uses_range_frame(spark, sf_dir):
     assert n_exchanges(plan) == 1  # the single user_id shuffle
 
 
-def test_doc_embeddings_fh_stays_map_side(spark, sf_dir):
-    # the 19x lesson: one aggregate fold, not 64 per-dim filter lambdas
+def test_doc_embeddings_fh_shape(spark, sf_dir):
+    """r12 rewrite: the entry is the sparse explode→count form — hash
+    each token ONCE — instead of posexploding the O(dims·n_tokens)
+    interpreted accumulator fold (which the optimizer additionally
+    inlined into the Generate's pushed-down filter, evaluating it up to
+    3× per row; measured 2.93 s → 0.91 s at sf0.1). Pins: no dense fold
+    (no array_repeat accumulator, no posexplode), and exactly ONE
+    exchange — the doc_id fan-out, which the count groupBy reuses
+    (hash partitioning on a subset of the grouping keys satisfies the
+    aggregation's distribution)."""
     plan = plan_of(spark, "doc_embeddings_fh", sf_dir)
-    assert n_exchanges(plan) == 0
+    assert "posexplode" not in plan
+    assert "array_repeat" not in plan
+    assert n_exchanges(plan) == 1
 
 
 def test_revenue_cube_expands_before_the_exchange(spark, sf_dir):
@@ -138,10 +154,17 @@ def test_map_side_entries_shuffle_at_most_once(spark, sf_dir, name):
 def test_opq_rotate_stays_map_side(spark, sf_dir):
     """The OPQ permutation is 64 getItems inside the scan projection:
     ann_pq_opq must keep the ann_pq_rerank plan shape (no extra
-    exchange for the rotate) and the code index persisted."""
+    exchange for the rotate). r12: the rerank shortlist is
+    localCheckpoint-truncated before its broadcast (the whole ADC
+    lineage — index build + LUT scoring + window — would otherwise
+    execute stage-by-stage inside the broadcast-build thread; measured
+    3.9 s vs 2.8 s), so the final plan shows the checkpoint's RDD scan
+    where the ADC subtree used to be; the pq_index persist now lives
+    BEHIND that boundary and is exercised at materialization."""
     plan = plan_of(spark, "ann_pq_opq", sf_dir)
-    assert "InMemoryTableScan" in plan  # pq_index persist survives
-    assert n_exchanges(plan) <= 3  # adc top-k + rerank join/window only
+    assert "Scan ExistingRDD" in plan  # the checkpointed shortlist
+    # rerank fetch join + final top-k window only
+    assert n_exchanges(plan) <= 3
     spark.catalog.clearCache()
 
 
@@ -151,5 +174,7 @@ def test_ivfpq_residual_scan_shape(spark, sf_dir):
     same exchange budget as the plain rerank path."""
     plan = plan_of(spark, "ann_ivfpq_residual", sf_dir)
     assert "InMemoryTableScan" in plan
-    assert n_exchanges(plan) <= 3
+    # r12: +1 — the scan fan-out inside the index build's cell
+    # assignment (scale-adaptive no-op on splittable inputs)
+    assert n_exchanges(plan) <= 4
     spark.catalog.clearCache()

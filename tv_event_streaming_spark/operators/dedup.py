@@ -149,8 +149,17 @@ def _shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
 def _hashed_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     """Shingles keyed by xxhash64 — pair-join and count plumbing shuffles
     8-byte longs instead of ~n-word strings (the standard trick; a
-    collision needs ~2^32 distinct shingles per pair to matter)."""
-    return _shingles(docs, text_col, n).select(
+    collision needs ~2^32 distinct shingles per pair to matter).
+
+    r12: tokenize+shingle+hash fan out across the cores when the input
+    scan is an unsplittable small file (scale-adaptive no-op otherwise)
+    — the same idiom :func:`minhash_signatures` applies unconditionally
+    because its groupBy(doc_id) reuses the exchange; here the consumers
+    shuffle on ``sh``, so the fan-out is gated on actually needing the
+    parallelism."""
+    from .fanout import fan_out_scan  # noqa: PLC0415
+
+    return _shingles(fan_out_scan(docs, "doc_id"), text_col, n).select(
         "doc_id", F.xxhash64("shingle").alias("sh")
     )
 
@@ -1133,10 +1142,14 @@ def interdoc_ngram_overlap(
     candidate-pair explosion (this metric never forms pairs at all —
     that is what keeps it linear where tier-2/3 pair generation is
     not)."""
+    from .fanout import fan_out_scan  # noqa: PLC0415
+
     base = (
         (lambda c: portable_hash64(c)) if portable else (lambda c: F.xxhash64(c))
     )
-    sh = _shingles(docs, text_col, n).select(
+    # fan out the tokenize+shingle+hash leg (scale-adaptive no-op on
+    # inputs whose scan already parallelizes — see fanout.py)
+    sh = _shingles(fan_out_scan(docs, "doc_id"), text_col, n).select(
         "doc_id", base(F.col("shingle")).alias("sh")
     )
     # feeds the df-count branch AND the join-back probe side — persist so
@@ -1201,10 +1214,15 @@ def shared_span_pairs(
     splits into two shorter reported spans — conservative, never
     invents overlap). The island windows partition by
     (pair, diagonal) — many small partitions, never a global sort."""
+    from .fanout import fan_out_scan  # noqa: PLC0415
+
     base = (
         (lambda c: portable_hash64(c)) if portable else (lambda c: F.xxhash64(c))
     )
-    staged = staged_tokens(docs, text_col)
+    # r12: the positional gram-build + hash chain below is interpreted
+    # HOF work per row; fan out across the cores when the input scan is
+    # one unsplittable file (scale-adaptive no-op otherwise — fanout.py)
+    staged = staged_tokens(fan_out_scan(docs, "doc_id"), text_col)
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(F.col("_toks"), i + k) for k in range(n)]
     )

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window
 
+from .fanout import fan_out_scan
+
 QUANT = 1_000_000
 
 
@@ -1103,6 +1105,13 @@ def _seed_cell_assignment(
         ],
         "_cents array<struct<cent_id:bigint,qcvec:array<bigint>,cnormsq:bigint>>",
     )
+    # r12: the corpus pass is ~n_centroids·dims interpreted-HOF evals per
+    # row on whatever parallelism the scan gives — which for the
+    # unsplittable test files is ONE task. Fan out (scale-adaptive
+    # no-op on real clusters) so the per-row argmin spreads across the
+    # cores; the centroid collect above pushes its id-filter into the
+    # raw scan either way.
+    embeddings = fan_out_scan(embeddings, id_col)
     staged = embeddings.select(
         id_col,
         vec_col,
@@ -1198,7 +1207,9 @@ def _seed_cell_assignment_vectorized(
             pdf["cell"] = cent_ids[scores.argmax(axis=1)].astype(np.int32)
             yield pdf
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+    # r12: one scan partition = one Python worker for the whole batch
+    # matmul; fan out first (scale-adaptive no-op on real clusters)
+    return fan_out_scan(embeddings.select(id_col, vec_col), id_col).mapInPandas(
         assign_batches, schema=out_schema
     )
 
@@ -1311,7 +1322,8 @@ def _seed_cell_assignment_two_level(
             pdf["cell"] = cell.astype(np.int32)
             yield pdf
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+    # r12: same fan-out rationale as the one-level vectorized path
+    return fan_out_scan(embeddings.select(id_col, vec_col), id_col).mapInPandas(
         assign_batches, schema=out_schema
     )
 
@@ -1885,7 +1897,14 @@ def pq_codes(
     cb, sub, n_words = _pq_codebook_row(
         embeddings, n_sub, k_codes, id_col, vec_col, codebook
     )
-    staged = embeddings.select(
+    # r12: the per-row argmin chain below is ~n_sub·k_codes·sub
+    # interpreted-HOF evals + one 128-struct array_sort per vector, on
+    # whatever parallelism the scan gives — ONE task for the
+    # unsplittable test files. Fan out (scale-adaptive no-op on real
+    # clusters — fanout.py); the persisted index downstream then also
+    # inherits the parallel partitioning, so every ADC scan of it runs
+    # wide instead of single-task.
+    staged = fan_out_scan(embeddings, id_col).select(
         F.col(id_col), F.transform(F.col(vec_col), _q).alias("_qv")
     )
     firsts = _pq_firsts(sub, n_words)
@@ -1930,7 +1949,9 @@ def pq_encode(
     cb, sub, n_words = _pq_codebook_row(
         embeddings, n_sub, k_codes, id_col, vec_col, codebook
     )
-    staged = embeddings.select(
+    # r12: same fan-out rationale as pq_codes — parallelize the per-row
+    # argmin chain when the scan is one unsplittable file
+    staged = fan_out_scan(embeddings, id_col).select(
         F.col(id_col), F.transform(F.col(vec_col), _q).alias("_qv")
     )
     firsts = _pq_firsts(sub, n_words)
@@ -2113,10 +2134,23 @@ def cosine_topk_pq_rerank(
         )
     if not codebook:
         return _empty_topk(embeddings, id_col, "cos_sim double")
-    cand = cosine_topk_pq_adc(
-        embeddings, query_filter, shortlist, n_sub, k_codes, id_col, vec_col,
-        codebook,
-    ).select("query_id", "neighbor_id")
+    # r12: the shortlist is ≤ |Q|·shortlist rows but its LINEAGE is the
+    # whole multi-stage ADC plan (index materialization + LUT scoring +
+    # per-query window) — and as the BROADCAST side below, that entire
+    # plan would execute stage-by-stage inside the broadcast-build
+    # thread (no AQE pipelining there; measured 3.9 s vs 2.8 s at
+    # sf0.1). A lazy localCheckpoint truncates the lineage at the
+    # candidate rows, so the broadcast builds from a trivial RDD scan;
+    # blocks are freed by ContextCleaner with the frame, like the
+    # persists in this family.
+    cand = (
+        cosine_topk_pq_adc(
+            embeddings, query_filter, shortlist, n_sub, k_codes, id_col,
+            vec_col, codebook,
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     qvecs = embeddings.filter(query_filter).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -2291,6 +2325,13 @@ def cosine_topk_ivfpq(
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    # r12 note: cosine_topk_pq_rerank truncates its shortlist lineage
+    # with a localCheckpoint before broadcasting (measured −0.7 s); the
+    # same change was A/B'd HERE and measured ~1.2 s SLOWER at sf0.1
+    # (the probed-cell shortlist reads the persisted ivfpq index, whose
+    # InMemoryTableScan already makes the broadcast subtree cheap, while
+    # the checkpoint forces an extra full materialization pass) — so the
+    # ivfpq paths deliberately keep the plain broadcast.
     short = (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= shortlist)
@@ -2747,6 +2788,13 @@ def cosine_topk_ivfpq_residual(
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    # r12 note: cosine_topk_pq_rerank truncates its shortlist lineage
+    # with a localCheckpoint before broadcasting (measured −0.7 s); the
+    # same change was A/B'd HERE and measured ~1.2 s SLOWER at sf0.1
+    # (the probed-cell shortlist reads the persisted ivfpq index, whose
+    # InMemoryTableScan already makes the broadcast subtree cheap, while
+    # the checkpoint forces an extra full materialization pass) — so the
+    # ivfpq paths deliberately keep the plain broadcast.
     short = (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= shortlist)

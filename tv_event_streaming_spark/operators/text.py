@@ -510,6 +510,79 @@ def pack_sequences(
     )
 
 
+def _featurehash_counts(
+    docs: DataFrame,
+    dims: int,
+    text_col: str,
+    portable: bool,
+) -> DataFrame:
+    """Internal sparse feature-hash histogram: ``(doc_id, dim, cnt)``
+    with one per-doc count per NONZERO dimension, plus a ``dim IS NULL``
+    marker row for docs whose ``text_col`` is NULL (so the dense
+    rebuild can reproduce their NULL embedding; callers that want the
+    pure sparse form filter the marker out on the post-aggregation
+    ``dim`` attribute — one cheap attribute comparison, never a
+    re-evaluation of the hash).
+
+    This explode → count shape replaced the r8-r11 O(dims·n_tokens)
+    ``aggregate`` fold (one interpreted ``transform`` of the whole
+    64-slot accumulator PER TOKEN — dims× more work than the histogram
+    needs, and evaluated up to 3× per row because the optimizer inlines
+    the fold into pushed-down size/isnotnull filters; r12 measured the
+    sparse entry 2.6× faster and the dense rebuild ~2× faster at
+    sf0.1). ``explode_outer`` rather than ``explode``: an inner explode
+    makes the optimizer push a ``size(_toks) > 0 AND isnotnull(_toks)``
+    filter below the Generate whose condition re-runs the whole
+    normalize+split tokenizer per doc; outer explode needs no such
+    filter and NULL-token rows are exactly the NULL-text markers we
+    must keep anyway.
+
+    :func:`fanout.fan_out_scan` spreads the per-token hashing across
+    the cores when the input scan is an unsplittable small file (the
+    bench regime), keyed on ``doc_id`` so BOTH groupBys below reuse the
+    one exchange (hash partitioning on a subset of the grouping keys
+    satisfies the aggregation's required distribution); at cluster
+    scale the scan parallelizes naturally, fan-out is a no-op, and the
+    two aggregations exchange map-side-combined partials (≤ dims+1
+    rows/doc) instead of text bytes."""
+    from .dedup import portable_hash64  # noqa: PLC0415 (avoid module cycle)
+    from .fanout import fan_out_scan  # noqa: PLC0415
+
+    staged = staged_tokens(fan_out_scan(docs, "doc_id"), text_col)
+    base = (
+        (lambda c: portable_hash64(c)) if portable else (lambda c: F.xxhash64(c))
+    )
+    tok = staged.select("doc_id", F.explode_outer("_toks").alias("_t"))
+    # xxhash64(NULL) is NON-null (seed hash), so the NULL-token marker
+    # must be made explicit — md5 would propagate it, xxhash64 would
+    # silently count a phantom token for every NULL-text doc.
+    dim = F.when(
+        F.col("_t").isNotNull(),
+        F.pmod(base(F.col("_t")), F.lit(dims)).cast("int"),
+    )
+    return (
+        tok.select("doc_id", dim.alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").cast("int").alias("cnt"))
+    )
+
+
+def featurehash_sparse(
+    docs: DataFrame,
+    dims: int = 64,
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Sparse twin of :func:`featurehash_embeddings`: the nonzero
+    ``(doc_id, dim, cnt)`` triples directly — identical rows to
+    posexploding the dense vector and filtering zeros, without ever
+    materializing (or folding) the dense array. NULL-text docs emit no
+    rows, exactly like posexplode of their NULL dense vector."""
+    return _featurehash_counts(docs, dims, text_col, portable).filter(
+        F.col("dim").isNotNull()
+    )
+
+
 def featurehash_embeddings(
     docs: DataFrame,
     dims: int = 64,
@@ -523,35 +596,41 @@ def featurehash_embeddings(
     output frame (key, ``embedding array<double>`` of exact integer
     counts) plugs directly into ``similarity.cosine_topk_bruteforce`` /
     ``allpairs_cosine_lsh`` and stays quantization-exact (counts are
-    integers, so floor(x·1e6) loses nothing).
+    integers, so floor(x·1e6) loses nothing). NULL-text docs keep
+    their NULL-embedding row.
 
-    Scale shape: ENTIRELY map-side — per doc one hashing pass over the
-    tokens plus an O(dims·n_tokens) ``aggregate`` fold, all inside
-    whole-stage codegen, zero shuffles and no UDF. The fold matters:
-    the histogram MUST reference the hashed-token array exactly once —
-    the earlier per-dim form (``dims`` separate ``filter(_hs, ...)``
-    calls) let projection collapse inline the per-token hash into
-    every one of the 64 lambdas, re-hashing each token 64× (measured
-    35 s → 0.6 s at sf0.1 for the portable md5 path).
+    Scale shape (rebuilt in r12 — see :func:`_featurehash_counts` for
+    the measured rationale): hash each token ONCE, count by
+    ``(doc, dim)``, then assemble the dense vector from the ≤ dims
+    surviving counts per doc — O(n_tokens + dims) per doc instead of
+    the previous O(dims·n_tokens) interpreted accumulator fold. The
+    histogram groupBy and the per-doc assembly groupBy share one
+    partitioning, so the pipeline costs a single exchange after
+    fan-out (or two map-combined partial-agg exchanges at cluster
+    scale, each carrying ≤ dims+1 rows/doc).
+
     ``portable=True`` uses the md5-slice hash for oracle checking;
     default xxhash64 is the scale path."""
-    from .dedup import portable_hash64  # noqa: PLC0415 (avoid module cycle)
-
-    staged = staged_tokens(docs, text_col)
-    base = (
-        (lambda c: portable_hash64(c)) if portable else (lambda c: F.xxhash64(c))
+    sp = _featurehash_counts(docs, dims, text_col, portable)
+    assembled = sp.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.when(F.col("dim").isNotNull(), F.struct("dim", "cnt"))
+            )
+        ).alias("_m")
     )
-    hs = F.transform(F.col("_toks"), lambda t: F.pmod(base(t), F.lit(dims)))
-    staged = staged.withColumn("_hs", hs)
-    emb = F.aggregate(
-        "_hs",
-        F.array_repeat(F.lit(0.0), dims),
-        lambda acc, h: F.transform(
-            acc,
-            lambda v, i: F.when(i.cast("long") == h, v + F.lit(1.0)).otherwise(v),
-        ),
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda d: F.coalesce(
+            F.element_at("_m", d.cast("int")), F.lit(0)
+        ).cast("double"),
     )
-    return staged.select("doc_id", emb.alias("embedding"))
+    # empty map ⟺ only the NULL-dim marker row ⟺ NULL text (split()
+    # yields at least [""] for every non-NULL text, so a real doc always
+    # has ≥ 1 nonzero count)
+    return assembled.select(
+        "doc_id", F.when(F.size("_m") > 0, dense).alias("embedding")
+    )
 
 
 def length_bucketed_batches(
@@ -1200,8 +1279,15 @@ def char_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     corpus size; the oracle states the same numbers via the quadratic
     explode+groupBy form. Empty text yields zeros and a vacuously-true
     gate."""
+    from .fanout import fan_out_scan  # noqa: PLC0415
+
     scan = F.expr(_CHAR_SCAN.format(col=text_col))
-    staged = docs.select("doc_id", F.length(text_col).alias("n_chars"), scan.alias("_cs"))
+    # r12: the per-char sorted-array scan is heavy interpreted HOF work;
+    # fan out when the input scan is one unsplittable file (no-op at
+    # scale — the plan stays exchange-free on real clusters)
+    staged = fan_out_scan(docs, "doc_id").select(
+        "doc_id", F.length(text_col).alias("n_chars"), scan.alias("_cs")
+    )
     n = F.col("n_chars")
     sumsq = F.col("_cs.sumsq")
     cmax = F.col("_cs.maxcount")
@@ -1248,8 +1334,12 @@ def winnow_fingerprints(
     shuffle; downstream overlap detection groups on ``fp`` exactly like
     the shingle tiers, at a fraction of the rows."""
     from .dedup import portable_hash64  # noqa: PLC0415 (avoid module cycle)
+    from .fanout import fan_out_scan  # noqa: PLC0415
 
-    staged = staged_tokens(docs, text_col)
+    # r12: the gram-build + hash + window-min scan below is the round's
+    # single most CPU-heavy map-side HOF chain; fan it out across the
+    # cores when the scan is one unsplittable file (no-op at scale)
+    staged = staged_tokens(fan_out_scan(docs, "doc_id"), text_col)
     toks = F.col("_toks")
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + k) for k in range(n)]
