@@ -310,10 +310,13 @@ def test_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9"
 
 
-def test_neardup_clusters_chain_and_nonconvergence(spark):
+def test_neardup_clusters_chain_and_nonconvergence(spark, monkeypatch):
     """Min-label propagation resolves a 40-node path into one component
-    (pointer jump ⇒ well under the round budget), and a too-small
-    max_iters raises instead of returning non-fixpoint labels."""
+    on BOTH paths — the default local finish (r12: a 78-edge graph is
+    folded on the driver) and the forced-distributed loop — and on the
+    distributed path a too-small max_iters raises instead of returning
+    non-fixpoint labels (the local finish never iterates, so the raise
+    is a distributed-path contract)."""
     docs = spark.range(40).select(F.col("id").alias("doc_id"))
     pairs = spark.range(39).select(
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
@@ -323,6 +326,9 @@ def test_neardup_clusters_chain_and_nonconvergence(spark):
 
     import pytest as _pytest
 
+    monkeypatch.setattr(D, "_LOCAL_FINISH_MAX_EDGES", 0)
+    out = D.neardup_clusters(docs, pairs)
+    assert {r.cluster_id for r in out.collect()} == {0}
     with _pytest.raises(RuntimeError, match="did not converge"):
         D.neardup_clusters(docs, pairs, max_iters=2)
 
@@ -341,19 +347,25 @@ def _persistent_rdd_ids(spark) -> set:
     return {k for k in jmap.keySet().toArray()}
 
 
-def test_neardup_clusters_session_isolation_and_block_hygiene(spark):
-    """r11 (VERDICT r10 #4 + ADVICE r10): the loop plans on a PRIVATE
-    ``spark.newSession()`` and the result is rebound to the caller's
-    session — caller-visible conf (AQE, shuffle partitions) is
-    untouched by the loop's tuning, the returned frame's session IS
-    the caller's, and checkpoint blocks don't leak: a converged run
-    leaves exactly ONE new persistent RDD (the returned labels
-    checkpoint — superseded rounds, the l2 deltas, and the final empty
-    edge checkpoint are all freed), and the non-convergence
+def test_neardup_clusters_session_isolation_and_block_hygiene(
+    spark, monkeypatch
+):
+    """r11 (VERDICT r10 #4 + ADVICE r10): the DISTRIBUTED loop (forced
+    here — the default local finish would swallow this tiny graph)
+    plans on a PRIVATE ``spark.newSession()`` and the result is rebound
+    to the caller's session — caller-visible conf (AQE, shuffle
+    partitions) is untouched by the loop's tuning, the returned frame's
+    session IS the caller's, and checkpoint blocks don't leak: a
+    converged run leaves exactly ONE new persistent RDD (the returned
+    labels checkpoint — superseded rounds, the l2 deltas, and the final
+    empty edge checkpoint are all freed), and the non-convergence
     RuntimeError path frees EVERYTHING it created. Tracked as
     this-test-created RDD-id DELTAS, not totals: the shared session's
     ContextCleaner unpersists OTHER tests' GC'd RDDs at its own pace,
-    so absolute counts race."""
+    so absolute counts race. r12: the default LOCAL-FINISH path keeps
+    ZERO checkpoints (the edge checkpoint is freed after the bounded
+    collect; the result is a plain broadcast join, caller-session by
+    construction)."""
     aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
     shuf0 = spark.conf.get("spark.sql.shuffle.partitions")
     ids0 = _persistent_rdd_ids(spark)
@@ -362,6 +374,7 @@ def test_neardup_clusters_session_isolation_and_block_hygiene(spark):
     pairs = spark.range(39).select(
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
     )
+    monkeypatch.setattr(D, "_LOCAL_FINISH_MAX_EDGES", 0)
     out = D.neardup_clusters(docs, pairs)
     assert out.sparkSession is spark, "result must be caller-session"
     assert {r.cluster_id for r in out.collect()} == {0}
@@ -383,6 +396,74 @@ def test_neardup_clusters_session_isolation_and_block_hygiene(spark):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     D.neardup_clusters(docs, empty).collect()
     assert not (_persistent_rdd_ids(spark) - ids1)
+
+    # r12 local-finish path (default threshold): caller-session result,
+    # conf untouched, and ZERO checkpoints kept — the bounded collect
+    # frees the edge checkpoint and nothing else is ever persisted
+    monkeypatch.setattr(D, "_LOCAL_FINISH_MAX_EDGES", 200_000)
+    out = D.neardup_clusters(docs, pairs)
+    assert out.sparkSession is spark
+    assert {r.cluster_id for r in out.collect()} == {0}
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == shuf0
+    assert not (_persistent_rdd_ids(spark) - ids1), (
+        "local finish must keep zero checkpoints"
+    )
+
+
+def test_neardup_clusters_local_finish_matches_distributed(
+    spark, monkeypatch
+):
+    """r12 local finish: (a) on a fixed multi-component graph the
+    default local path and the forced-distributed loop produce
+    IDENTICAL labels (the unique min-reachable fixpoint); (b) with a
+    threshold between the initial and contracted edge counts, the
+    MID-LOOP finish fires (big rounds distributed, tail folded on the
+    driver) and still lands the same fixpoint; (c) self-pairs don't
+    break the driver-side union-find."""
+    import random
+
+    rng = random.Random(12012)
+    # 3 chained components + singletons + one clique + a self-pair
+    edges = [(i, i + 1) for i in range(0, 30)]  # comp min 0
+    edges += [(100 + i, 100 + rng.randint(0, i)) for i in range(1, 20)]
+    edges += [(200, 201), (201, 202), (202, 200), (203, 203)]
+    docs = spark.range(260).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    expected = None
+    for threshold in (200_000, 0):
+        monkeypatch.setattr(D, "_LOCAL_FINISH_MAX_EDGES", threshold)
+        got = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in D.neardup_clusters(docs, pairs).collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected, f"threshold={threshold} diverged"
+
+    # mid-loop finish: a 100-node path ⇒ initial 198 doubled edges
+    # > 150; contraction (a path sheds ~8 edge rows/round — the
+    # measured worst case; LSH clique graphs collapse geometrically)
+    # drops below 150 within a few rounds ⇒ the local branch runs
+    # INSIDE the loop. Spy proves the branch fired.
+    calls = []
+    orig = D._local_min_components
+
+    def spy(rows):
+        out = orig(rows)
+        calls.append(len(out))
+        return out
+
+    monkeypatch.setattr(D, "_local_min_components", spy)
+    monkeypatch.setattr(D, "_LOCAL_FINISH_MAX_EDGES", 150)
+    docs2 = spark.range(100).select(F.col("id").alias("doc_id"))
+    path = spark.range(99).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    out = D.neardup_clusters(docs2, path)
+    assert {r.cluster_id for r in out.collect()} == {0}
+    assert calls, "mid-loop local finish must have fired"
 
 
 def test_decontaminate_production_n8(spark):
@@ -629,6 +710,7 @@ def test_cluster_loop_drain_survives_failing_free(spark, monkeypatch):
         return out, flaky_free
 
     monkeypatch.setattr(D, "_loop_checkpoint", flaky)
+    monkeypatch.setattr(D, "_LOCAL_FINISH_MAX_EDGES", 0)  # distributed path
     for k in list(D._WARNED):
         if k.startswith("cluster_loop_drain_failed"):
             D._WARNED.pop(k, None)
@@ -668,6 +750,9 @@ def test_cluster_loop_rebind_failure_warns(spark, monkeypatch):
     pairs = spark.range(39).select(
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
     )
+    # force the distributed loop: the r12 local finish builds on the
+    # caller's session directly and has no rebind hop to degrade
+    monkeypatch.setattr(D, "_LOCAL_FINISH_MAX_EDGES", 0)
     monkeypatch.setattr(
         spark, "_jsparkSession", _NoRebind(spark._jsparkSession)
     )

@@ -525,6 +525,56 @@ def _loop_checkpoint(df: DataFrame, session=None):
 #: measured bracket.
 _BLOCKING_FREE_MIN_ROWS = 5_000_000
 
+#: Doubled-edge count at or below which the cluster loop finishes the
+#: remaining components ON THE DRIVER instead of running more
+#: distributed rounds (r12, guide §1.2: the per-round fixed cost — three
+#: checkpoint jobs — dwarfs the work once contraction has shrunk the
+#: graph; measured at sf0.1 the whole 3-round loop is ~11 jobs over a
+#: 65 k-edge graph a single union-find folds in milliseconds). The
+#: collect is BOUNDED BY CONSTRUCTION: the edge count is already known
+#: (it rides the checkpoint job as an Observation) BEFORE any row moves
+#: to the driver, so the driver never holds more than ~200 k 16-byte
+#: edge rows (~3 MB) plus the ≤edge-sized label map it broadcasts back.
+#: This is the standard contraction-with-local-finish shape (the same
+#: reason Kiveris et al.'s large-star/small-star implementations hand
+#: off once the contracted graph fits one machine): on ANY deployment
+#: the tail rounds of a geometrically-shrinking loop are pure
+#: orchestration overhead. Production value: a driver comfortably holds
+#: tens of MB; 200 k doubled edges keeps the map broadcast ≤ ~3 MB
+#: while capturing every tail round that would otherwise cost 3 more
+#: distributed jobs. Set to 0 to force the fully-distributed loop
+#: (tests pin both paths).
+_LOCAL_FINISH_MAX_EDGES = 200_000
+
+
+def _local_min_components(edge_rows) -> dict[int, int]:
+    """Exact min-label connected components of a small edge list —
+    the driver-side finish for contracted graphs at or below
+    :data:`_LOCAL_FINISH_MAX_EDGES`. Returns ``{node: min_reachable}``
+    with root (already-minimal) nodes omitted, so the caller can
+    left-join + coalesce. Union-find with path compression; roots are
+    always the smaller id, so a component's root IS its minimum."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while x != r:  # path compression over existing entries only
+            nxt = parent[x]
+            parent[x] = r
+            x = nxt
+        return r
+
+    for src, dst in edge_rows:
+        ra, rb = find(src), find(dst)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    return {n: find(n) for n in list(parent)}
+
 
 def neardup_clusters(
     docs: DataFrame,
@@ -578,6 +628,17 @@ def neardup_clusters(
     rides the edge checkpoint as an ``Observation`` — one job per
     round, no separate ``count()`` action. An empty pair graph
     short-circuits to the identity labeling with zero rounds.
+
+    LOCAL FINISH (r12): whenever the (already-counted) doubled-edge
+    frame is at or below :data:`_LOCAL_FINISH_MAX_EDGES` — either the
+    initial pair graph at small scale, or the contracted remainder
+    after the big rounds have collapsed the heavy components — the
+    remaining components are folded by a driver-side union-find and
+    composed back with ONE broadcast join. The collect is bounded by
+    construction (the count precedes it), and the tail rounds it
+    replaces are pure per-round orchestration (3 checkpoint jobs each)
+    on any deployment. The fixpoint is unchanged: union-find computes
+    exactly the min-reachable label the loop converges to.
 
     Checkpoint MEMORY discipline (the d1000 lesson, §6g): all loop
     checkpoints are stored SERIALIZED (see :func:`_loop_checkpoint`),
@@ -662,6 +723,29 @@ def neardup_clusters(
         # the loop (and its per-round job-scheduling latency) entirely
         free_edges()
         return identity
+    if n_edges <= _LOCAL_FINISH_MAX_EDGES:
+        # scale-adaptive local finish (see _LOCAL_FINISH_MAX_EDGES): the
+        # pair graph is provably tiny — the count above ran BEFORE this
+        # collect, so the collect is bounded. Union-find on the driver,
+        # broadcast the (non-root nodes only) label map back, one
+        # broadcast join instead of O(log diameter) rounds × 3
+        # checkpoint jobs. Built directly on the CALLER's session — no
+        # labels checkpoint, no private-session planning, no rebind hop.
+        roots = _local_min_components(
+            (r[0], r[1]) for r in edges.collect()
+        )
+        free_edges(blocking=False)
+        map_df = spark.createDataFrame(
+            sorted(roots.items()), "_n long, _r long"
+        )
+        return (
+            docs.select(F.col(id_col))
+            .join(F.broadcast(map_df), F.col(id_col) == F.col("_n"), "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("_r", F.col(id_col)).alias("cluster_id"),
+            )
+        )
     label_obs = Observation()
     labels = (
         docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
@@ -795,6 +879,36 @@ def neardup_clusters(
                 # the final edge checkpoint is EMPTY and never read
                 # again — free it here or it lingers for the session
                 live.pop("edges")(blocking=False)
+                converged = True
+                break
+            if n_edges <= _LOCAL_FINISH_MAX_EDGES:
+                # contraction has shrunk the graph below the local-
+                # finish bound (count known BEFORE the collect — see
+                # _LOCAL_FINISH_MAX_EDGES): fold the remaining
+                # components on the driver and compose the label map
+                # onto the checkpointed labels with one broadcast join,
+                # instead of running the remaining tail rounds. The
+                # labels checkpoint stays live — the returned frame
+                # derives from it (same kept-block shape as the
+                # distributed exit).
+                roots = _local_min_components(
+                    (r[0], r[1]) for r in edges.collect()
+                )
+                live.pop("edges")(blocking=False)
+                map_df = loop_spark.createDataFrame(
+                    sorted(roots.items()), "_n long, _r long"
+                )
+                labels = (
+                    labels.join(
+                        F.broadcast(map_df),
+                        F.col("label") == F.col("_n"),
+                        "left",
+                    ).select(
+                        "node",
+                        F.coalesce("_r", "label").alias("label"),
+                    )
+                )
+                n_edges = 0
                 converged = True
                 break
     finally:
