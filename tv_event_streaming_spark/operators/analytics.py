@@ -228,6 +228,13 @@ def table_profile(events: DataFrame, approx: bool = False) -> DataFrame:
     aggregation regardless of cardinality. Exact mode is the
     oracle-checked catalog entry; approx mode's error bound is
     pytest-asserted (±5% at rsd=0.01)."""
+    from .fanout import fan_out_scan  # noqa: PLC0415
+
+    # r12: the expand stage (rows × (cols+1) for the exact distincts)
+    # otherwise runs its partial aggregation on the scan's parallelism —
+    # one task on an unsplittable file (measured 0.71 s single-task at
+    # sf0.1). Scale-adaptive no-op on splittable inputs (fanout.py).
+    events = fan_out_scan(events, "event_id")
     cols = ["event_id", "user_id", "event_type", "value"]
     aggs = []
     for c in cols:

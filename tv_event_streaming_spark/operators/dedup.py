@@ -1432,6 +1432,11 @@ def decontaminate(
         )
     else:
         ev = ev_doc_sh.select("sh").distinct()
+    # r12 NOTE: no fan-out here by design — callers that feed a RAW
+    # unsplittable scan (the standalone catalog entry) fan out at the
+    # call site; composed pipelines feed an already-persisted survivor
+    # frame where the extra exchange measured +0.9 s on the
+    # curation_pipeline_neardup decontaminate leg at sf0.1.
     sh = _shingles(docs, text_col, n).select(
         "doc_id", base(F.col("shingle")).alias("sh")
     )

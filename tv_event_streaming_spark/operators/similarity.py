@@ -88,13 +88,17 @@ def cosine_topk_bruteforce(
     """Brute-force cosine top-k: queries (filtered subset) × corpus.
 
     The query side is broadcast (it's small by construction); the corpus
-    never shuffles. Ranking ties break on neighbor id for determinism.
+    never shuffles at scale. r12: when the corpus scan is one
+    unsplittable file, the |corpus|×|queries| dot-product stage fans out
+    across the cores (scale-adaptive no-op on splittable inputs —
+    fanout.py; measured 1.0-1.2 s single-task at sf0.1 inside
+    ann_recall_eval). Ranking ties break on neighbor id for determinism.
     """
     embeddings = nonzero_norm(embeddings, vec_col)
     q = embeddings.filter(query_filter).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = embeddings.select(
+    c = fan_out_scan(embeddings, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         quantized_norm_sq(F.col(vec_col)).alias("cnorm"),
@@ -240,6 +244,12 @@ def cosine_topk_lsh(
         F.col(vec_col),
         F.element_at(sig_udf(F.col(vec_col)), 1).alias("bucket"),
     )
+    # r12 NOTE: fan-out was A/B'd here and REJECTED — fanning the shared
+    # sig frame put the exchange on the broadcast-build path too
+    # (+0.25 s on ann_cosine_lsh at sf0.1), and a corpus-side-only fan
+    # still measured ~+0.12 s: this entry's single-task stages are
+    # broadcast builds that already overlap the main stage, so the
+    # exchange buys nothing. The corpus stays on the plain scan.
     masks = [0] + ([1 << i for i in range(bits)] if probe_hamming else [])
     q = (
         sig.filter(query_filter)

@@ -292,9 +292,20 @@ def quality_filter(
     projection over the staged tokens — no shuffle. ``keep_cols``
     passes named input columns through unchanged (so a rollup like
     :func:`curation_report` avoids a corpus-sized self-join back onto
-    the gated frame)."""
+    the gated frame).
+
+    r12: the rule evaluation (tokenize + stopword filter + repetition
+    scans, all interpreted HOF work per row) fans out across the cores
+    when the input scan is one unsplittable file — scale-adaptive no-op
+    on splittable inputs (fanout.py), so the zero-shuffle map-side plan
+    is preserved exactly where it matters (measured 0.74 s single-task
+    at sf0.1 → wide)."""
+    from .fanout import fan_out_scan  # noqa: PLC0415
+
     t = F.col(text_col)
-    staged = _stage_repetition(staged_tokens(docs, text_col), t)
+    staged = _stage_repetition(
+        staged_tokens(fan_out_scan(docs, "doc_id"), text_col), t
+    )
     ntok = F.size("_toks")
     mean_len = F.length("_norm").cast("double") / ntok.cast("double")
     # try_divide: empty text => NULL ratio => NULL rule => keep=false

@@ -599,7 +599,16 @@ def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "genre_ids",
         F.lit("2025-07-04 16:02:51").cast("timestamp").alias("publish_ts"),
     )
-    wire = EV.encode_envelope(payload, EV.PAYLOAD_COLS, "publish_ts")
+    # r12: JSON+base64 encode/decode is CPU work per row; fan out when
+    # the underlying scan is one unsplittable file (scale-adaptive
+    # no-op otherwise — operators/fanout.py)
+    from tv_event_streaming_spark.operators.fanout import (  # noqa: PLC0415
+        fan_out_scan,
+    )
+
+    wire = EV.encode_envelope(
+        fan_out_scan(payload, "id"), EV.PAYLOAD_COLS, "publish_ts"
+    )
     decoded = EV.decode_envelope(wire)
     return decoded.select(
         "id", "title", "year", "imdb_id", "tmdb_id", "tmdb_type", "type",
