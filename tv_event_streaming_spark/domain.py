@@ -272,8 +272,23 @@ def details(part: DataFrame) -> DataFrame:
     )
 
 
+#: Memoized derived-domain views per (session, sf_dir) — the same
+#: catalog-cache idea as ``_TABLE_CACHE`` one level up: the derivations
+#: are pure lazy plans (no data, no conf), but CONSTRUCTING them is
+#: hundreds of py4j expression calls (~0.4-0.5 s per call measured at
+#: r12), paid by every domain entry on every build. A real deployment
+#: registers these once as catalog views; the memo is that registration.
+_DOMAIN_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def derive_domain(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """All derived TV-domain tables plus the raw test tables."""
+    """All derived TV-domain tables plus the raw test tables. The
+    returned dict is a fresh shallow copy; the cached frames are
+    immutable lazy plans."""
+    key = (_session_key(spark), sf_dir)
+    hit = _DOMAIN_CACHE.get(key)
+    if hit is not None:
+        return dict(hit)
     t = load_tables(spark, sf_dir)
     sn, gn = _dim_counts(spark, sf_dir)
     t["sources"] = sources(t["supplier"])
@@ -282,6 +297,7 @@ def derive_domain(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     t["title_index"] = title_index(t["part"], sn, gn)
     t["user_prefs"] = user_prefs(t["customer"], sn, gn)
     t["details"] = details(t["part"])
+    _DOMAIN_CACHE[key] = dict(t)
     return t
 
 
