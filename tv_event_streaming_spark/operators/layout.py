@@ -240,19 +240,21 @@ def bloom_might_contain(
     bloom_row = spark.createDataFrame([(words,)], "_bloom array<bigint>")
     h32 = _bloom_base(key_col, portable)
     pos = _bloom_positions(F.col("_h32"), m_bits, k)
-    staged = df.withColumn("_h32", h32).withColumn("_pos", F.array(*pos))
-    probed = staged.crossJoin(F.broadcast(bloom_row)).filter(
-        F.aggregate(
-            F.col("_pos"),
-            F.lit(True),
-            lambda acc, p: acc
-            & (
-                F.bit_get(
-                    F.element_at(F.col("_bloom"), (p / 64).cast("int") + 1),
-                    F.pmod(p, F.lit(64)).cast("int"),
-                )
-                == 1
-            ),
+    staged = df.withColumn("_h32", h32)
+    # r12: the probe is k explicit bit-test conjuncts instead of an
+    # `aggregate` HOF fold over an array of the same k positions — HOF
+    # lambdas run interpreted (they never enter whole-stage codegen),
+    # and this predicate runs per fact-table row at 100 TB. Same k
+    # hash positions, same bit tests, strictly less work (no array
+    # construction, short-circuiting AND).
+    cond = F.lit(True)
+    for p in pos:
+        cond = cond & (
+            F.bit_get(
+                F.element_at(F.col("_bloom"), (p / 64).cast("int") + 1),
+                F.pmod(p, F.lit(64)).cast("int"),
+            )
+            == 1
         )
-    )
-    return probed.drop("_h32", "_pos", "_bloom")
+    probed = staged.crossJoin(F.broadcast(bloom_row)).filter(cond)
+    return probed.drop("_h32", "_bloom")
