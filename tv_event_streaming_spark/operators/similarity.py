@@ -1631,6 +1631,14 @@ def ann_recall_at_k(
     frames (≤ |queries|·k rows each), and the final groupBy is
     query-count-sized. Evaluate recall on a SAMPLE of queries at scale —
     the brute-force side is the O(|queries|·N) term."""
+    # r12 NOTE: the exact ranking feeds two branches (hits semi-join +
+    # per-query universe) and Spark does not share subtrees, so the
+    # brute leg plans twice — but a lazy localCheckpoint here was A/B'd
+    # and REJECTED (2.0 → 3.6 s at sf0.1): the duplicated legs execute
+    # as OVERLAPPING broadcast builds, so the duplication costs ~zero
+    # wall, while the checkpoint serializes them behind a barrier. At
+    # real scale the brute side is already sample-sized by contract
+    # (docstring above), so the duplication stays broadcast-band.
     exact = cosine_topk_bruteforce(embeddings, query_pred, k, id_col, vec_col).select(
         "query_id", "neighbor_id"
     )
