@@ -8,6 +8,10 @@ the session this script owns; warm run (one untimed cold pass first).
     python tools/stage_profile.py entry [entry ...]
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+
+The urllib calls go ONLY to the session's own UI (uiWebUrl =
+http://127.0.0.1:<port>, same process tree) — this tool never touches
+the network; it is the REST form of clicking the local Stages tab.
 """
 
 from __future__ import annotations
