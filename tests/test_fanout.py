@@ -53,6 +53,19 @@ def test_fan_out_is_noop_on_in_memory_frames(spark):
     assert fan_out_scan(df, "doc_id") is df
 
 
+def test_fan_out_is_noop_when_key_column_absent(spark, sf_dir):
+    # ADVICE r12: generic operators hardcode their domain's id column;
+    # a frame without it must lose the fan-out, not raise — and only a
+    # STRING key is checkable (Column keys go to the analyzer as before)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert estimated_scan_tasks(docs) == 1  # the fan WOULD fire
+    renamed = docs.withColumnRenamed("doc_id", "other_id")
+    assert fan_out_scan(renamed, "doc_id") is renamed
+    # a Column key stays uncheckable and still goes to the analyzer
+    out = fan_out_scan(renamed, F.col("other_id"))
+    assert "Exchange hashpartitioning(other_id" in _plan(out)
+
+
 def test_featurehash_dense_null_empty_and_count_semantics(spark):
     """The r12 sparse-aggregate rebuild must keep the dense operator's
     exact legacy semantics: NULL text → NULL embedding row (the old

@@ -69,6 +69,14 @@ _NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 # and reads footers eagerly on every call — catalog-cache behavior a real
 # metastore gives for free. Keyed on applicationId (stable per live
 # session, never reused by a successor session the way id() can be).
+# SINGLE-SESSION ASSUMPTION (ADVICE r12): sibling sessions from
+# spark.newSession() share the application id, so they receive frames
+# bound to the FIRST caller's SparkSession — their own temp views and
+# SQL conf do not apply to the cached plans. Every caller in this
+# engine builds catalog plans on the primary session only (the cluster
+# loop's private session never calls load_table/derive_domain); a
+# deployment that hands sibling sessions to user code should register
+# real catalog views instead of this memo.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -284,7 +292,14 @@ _DOMAIN_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 def derive_domain(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All derived TV-domain tables plus the raw test tables. The
     returned dict is a fresh shallow copy; the cached frames are
-    immutable lazy plans."""
+    immutable lazy plans.
+
+    Static-dataset assumption (ADVICE r12): the memoized plans pin the
+    scan's file listing at first call — files added to ``sf_dir`` later
+    in the same session are invisible, exactly like a registered catalog
+    view over a non-transactional path table. The driver's testdata dirs
+    are immutable; a deployment with a mutating directory should register
+    a real catalog table instead."""
     key = (_session_key(spark), sf_dir)
     hit = _DOMAIN_CACHE.get(key)
     if hit is not None:

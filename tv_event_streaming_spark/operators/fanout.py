@@ -109,9 +109,19 @@ def fan_out_scan(df: DataFrame, *keys: str | Column) -> DataFrame:
     determined (remote storage) — the frame is returned UNCHANGED, so
     cluster plans keep their shape and the helper can never add a
     shuffle at scale.
+
+    A STRING key naming a column the frame does not have also makes the
+    helper a no-op (ADVICE r12): generic operators hardcode their
+    domain's id column ('doc_id', 'event_id'), and a caller feeding a
+    differently-shaped frame should lose the fan-out, not gain an
+    AnalysisException that only reproduces in the unsplittable-local-
+    file regime where the fan fires. Column-object keys can't be
+    checked this way and are passed through to the analyzer as before.
     """
     if not keys:
         raise ValueError("fan_out_scan requires at least one partition key")
+    if any(isinstance(k, str) and k not in df.columns for k in keys):
+        return df
     sc = df.sparkSession.sparkContext
     n_par = sc.defaultParallelism
     est = estimated_scan_tasks(df)
