@@ -73,14 +73,16 @@ def test_seed_cell_assignment_auto_switch_plan_shape(spark, sf_dir):
     assert n_exchanges(small) <= 1 and n_exchanges(large) <= 1
 
 
-def test_pq_index_is_persisted_for_the_adc_scan(spark, sf_dir):
-    # SCALE §6c: nested-lambda references to a staged array need an
-    # InMemoryRelation attribute — dropping pq_index's persist
-    # re-inlines the whole encode pipeline per LUT reference
+def test_pq_adc_is_one_fused_arrow_pass(spark, sf_dir):
+    # r13: the build-from-embeddings ADC query fuses encode + LUT
+    # scoring + per-batch top-k into ONE Arrow pass — no persisted code
+    # table, no interpreted HOF chains; the only exchanges are the scan
+    # fan-out (scale-adaptive no-op on splittable inputs) and the final
+    # per-query top-k window over the batch-partial candidates
     plan = plan_of(spark, "ann_pq_adc", sf_dir)
-    assert "InMemoryTableScan" in plan
-    # pq_codes builds the index in one map-side pass: the per-query
-    # top-k window plus (r12) the scan fan-out inside the index build
+    assert "MapInPandas" in plan
+    assert "InMemoryTableScan" not in plan
+    assert "aggregate(" not in plan  # the interpreted ADC fold is gone
     assert n_exchanges(plan) <= 2
     spark.catalog.clearCache()
 
@@ -154,27 +156,28 @@ def test_map_side_entries_shuffle_at_most_once(spark, sf_dir, name):
 def test_opq_rotate_stays_map_side(spark, sf_dir):
     """The OPQ permutation is 64 getItems inside the scan projection:
     ann_pq_opq must keep the ann_pq_rerank plan shape (no extra
-    exchange for the rotate). r12: the rerank shortlist is
-    localCheckpoint-truncated before its broadcast (the whole ADC
-    lineage — index build + LUT scoring + window — would otherwise
-    execute stage-by-stage inside the broadcast-build thread; measured
-    3.9 s vs 2.8 s), so the final plan shows the checkpoint's RDD scan
-    where the ADC subtree used to be; the pq_index persist now lives
-    BEHIND that boundary and is exercised at materialization."""
+    exchange for the rotate). r13: the shortlist is the fused Arrow
+    ADC pass (MapInPandas over the fanned scan + one window) feeding
+    the broadcast-candidate rerank directly — the r12 localCheckpoint
+    re-A/B'd flat once the heavy ADC stages were gone and was
+    dropped."""
     plan = plan_of(spark, "ann_pq_opq", sf_dir)
-    assert "Scan ExistingRDD" in plan  # the checkpointed shortlist
-    # rerank fetch join + final top-k window only
+    assert "MapInPandas" in plan
+    assert "InMemoryTableScan" not in plan  # no persisted code table
+    # fan-out + shortlist window + final top-k window
     assert n_exchanges(plan) <= 3
     spark.catalog.clearCache()
 
 
 def test_ivfpq_residual_scan_shape(spark, sf_dir):
-    """Residual ADC reads the persisted (id, cell, codes) index; the
-    residual subtraction and encode ride the build, not the query —
-    same exchange budget as the plain rerank path."""
+    """r13: the build-from-embeddings residual query is ONE fused Arrow
+    pass (assignment + residual + encode + probed-ADC + per-batch
+    top-k) feeding the shortlist window, then the broadcast-candidate
+    exact rerank — no persisted index materialization, no interpreted
+    HOF chains in the corpus stage."""
     plan = plan_of(spark, "ann_ivfpq_residual", sf_dir)
-    assert "InMemoryTableScan" in plan
-    # r12: +1 — the scan fan-out inside the index build's cell
-    # assignment (scale-adaptive no-op on splittable inputs)
+    assert "MapInPandas" in plan
+    assert "InMemoryTableScan" not in plan
+    # fan-out + shortlist window + rerank window + two broadcast builds
     assert n_exchanges(plan) <= 4
     spark.catalog.clearCache()

@@ -1181,3 +1181,20 @@ def test_shrunk_codebook_lloyd_iteration_matches_reference(spark, sf_dir):
         expect[m][j][d] = s // n
     assert S.pq_train_residual(one_zero, iters=1) == expect
     spark.catalog.clearCache()
+
+
+def test_fused_residual_query_matches_prebuilt_index_path(spark, sf_dir):
+    """r13: the fused Arrow query pass (assignment + residual + encode +
+    probed-ADC + per-batch top-k in ONE mapInPandas) must produce rows
+    identical to the frame-based scan over a prebuilt persisted index —
+    same codebook, same probes, same tie-breaks."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nz = S.nonzero_norm(emb)
+    rcb = S.pq_residual_seed_codebook(nz, 16, 8, 16, allow_missing=True)
+    idx = S.ivfpq_residual_index(nz, 16, 8, 16, codebook=rcb)
+    old = S.cosine_topk_ivfpq_residual(
+        emb, F.col("vec_id") < 5, k=5, index=idx, codebook=rcb
+    ).collect()
+    new = S.cosine_topk_ivfpq_residual(emb, F.col("vec_id") < 5, k=5).collect()
+    assert sorted(map(tuple, old)) == sorted(map(tuple, new))
+    spark.catalog.clearCache()

@@ -1900,6 +1900,135 @@ def _pq_firsts(sub: int, n_words: int) -> Column:
     return F.filter(F.array_sort(scored), lambda e, i: i % n_words == 0)
 
 
+def _fused_adc_shortlist(
+    embeddings: DataFrame,
+    codebook: list[list[list[int]]],
+    luts: list[tuple],
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+    qcents: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """ONE Arrow pass over the corpus for the PQ query entries (r13,
+    guide §4.2 "hand whole batches to vectorized native libraries" and
+    the VERDICT r12 directive "fewer Python crossings per row"): per
+    batch, quantize, (residual mode: assign the nearest seed cell with
+    the SAME int64-matmul + IEEE-division kernel the pinned
+    :func:`_seed_cell_assignment_vectorized` uses, then subtract that
+    cell's centroid), PQ-encode against the broadcast codebook, gather
+    each query's ADC distance from its LUT, and emit the batch's
+    top-``shortlist`` (query_id, neighbor_id, adist) rows.
+
+    This replaces, for the build-from-embeddings query paths, the
+    interpreted-HOF cascade (per-row ``transform``/``zip_with``/
+    ``aggregate`` argmin chains — which Catalyst evaluates WITHOUT
+    whole-stage codegen at ~µs per element op) AND the persisted
+    intermediate code table those chains needed as a materialization
+    barrier. Exactness is preserved end-to-end: quantization is the
+    identical floor(float64(x)·1e6) (float32→float64 widening exact),
+    encode/ADC arithmetic is exact int64 (max |component| ≤ ~4e6,
+    squared-sums ≤ ~1.3e14 ≪ 2^63), the assignment score division is
+    the same correctly-rounded IEEE sequence as the expression path,
+    and every argmin/argmax tie breaks to the lowest id exactly like
+    the (qdist, code) / (-score, cent_id) sorts it replaces.
+
+    Per-batch partial top-k is the §2.3 "aggregate before you shuffle"
+    move: top-k under the strict total order (adist, neighbor_id) is
+    associative, so the union of per-batch top-k sets contains the
+    global top-k and the downstream window selects exactly the same
+    rows while shuffling ≤ |batches|·|Q|·shortlist rows instead of
+    |Q|·N. Rows equal to their query id are excluded here, as in the
+    frame-based scan.
+
+    ``luts``: ``(query_id, lut[n_sub][n_words])`` triples-less plain
+    mode, or ``(query_id, probed_cell, lut)`` residual mode (``qcents``
+    set) — a query scores a corpus row iff the row's assigned cell is
+    one the query probes. The closure is self-contained (numpy/pandas
+    only), safe to pickle by value into sessions that can't import
+    this package on workers."""
+    import numpy as np  # noqa: PLC0415
+
+    n_sub = len(codebook)
+    sub = len(codebook[0][0])
+    cb = np.array(codebook, dtype=np.int64)  # [n_sub, n_words, sub]
+    residual = qcents is not None
+    if residual:
+        cent_ids = np.array([c for c, _ in qcents], dtype=np.int64)
+        qc = np.array([v for _, v in qcents], dtype=np.int64)
+        cnormsq = (qc * qc).sum(axis=1).astype(np.float64)
+        by_cell = {}
+        for cell in sorted({c for _, c, _ in luts}):
+            by_cell[int(cell)] = (
+                np.array([q for q, c, _ in luts if c == cell], dtype=np.int64),
+                np.array([l for q, c, l in luts if c == cell], dtype=np.int64),
+            )
+    else:
+        qids = np.array([q for q, _ in luts], dtype=np.int64)
+        lut_t = np.array([l for _, l in luts], dtype=np.int64)
+    quant = QUANT
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id bigint, neighbor_id {id_type}, adist bigint"
+
+    def scan(batches):
+        import numpy as _np  # noqa: PLC0415
+        import pandas as _pd  # noqa: PLC0415
+
+        def encode(mat):
+            codes = _np.empty((mat.shape[0], n_sub), dtype=_np.int64)
+            for m in range(n_sub):
+                d = mat[:, m * sub : (m + 1) * sub]
+                dist = ((d[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = dist.argmin(axis=1)  # first min = lowest code
+            return codes
+
+        def topk(q_arr, lt, ids, codes, oq, on, od):
+            ad = _np.zeros((len(q_arr), len(ids)), dtype=_np.int64)
+            for m in range(n_sub):
+                ad += lt[:, m, :][:, codes[:, m]]
+            for qi in range(len(q_arr)):
+                sel = ids != q_arr[qi]
+                ci, cd = ids[sel], ad[qi][sel]
+                order = _np.lexsort((ci, cd))[:shortlist]
+                oq.append(_np.full(len(order), q_arr[qi], dtype=_np.int64))
+                on.append(ci[order])
+                od.append(cd[order])
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            qv = _np.floor(
+                _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64) * quant
+            ).astype(_np.int64)
+            oq, on, od = [], [], []
+            if residual:
+                nv = (qv * qv).sum(axis=1).astype(_np.float64)
+                scores = (qv @ qc.T).astype(_np.float64) / _np.sqrt(
+                    nv[:, None] * cnormsq[None, :]
+                )
+                nearest = scores.argmax(axis=1)  # first max = lowest cent_id
+                codes = encode(qv - qc[nearest])
+                row_cells = cent_ids[nearest]
+                for cell, (q_arr, lt) in by_cell.items():
+                    mask = row_cells == cell
+                    if mask.any():
+                        topk(q_arr, lt, ids[mask], codes[mask], oq, on, od)
+            elif len(qids):
+                topk(qids, lut_t, ids, encode(qv), oq, on, od)
+            if oq:
+                yield _pd.DataFrame(
+                    {
+                        "query_id": _np.concatenate(oq),
+                        "neighbor_id": _np.concatenate(on),
+                        "adist": _np.concatenate(od),
+                    }
+                )
+
+    return fan_out_scan(embeddings.select(id_col, vec_col), id_col).mapInPandas(
+        scan, schema=out_schema
+    )
+
+
 def pq_codes(
     embeddings: DataFrame,
     n_sub: int = 8,
@@ -2029,18 +2158,18 @@ def cosine_topk_pq_adc(
     quantized components), so ranking is deterministic and
     oracle-checkable. Ties break on neighbor id.
 
-    Scale shape: LUTs for all queries travel as ONE broadcast row
-    (|Q|·n_sub·k_codes ints); per corpus row the distance to every
-    query is one ``zip_with(codes, lut)`` lookup-fold over the
-    PERSISTED code table (see :func:`pq_index` for why persistence,
-    not an exchange, is the materialization point); the only shuffle
-    is the per-query top-k window over |Q|·N scored rows — the same
-    shape every scan-ANN here accepts, minus the vector math.
+    Scale shape (r13): the build-from-embeddings path is ONE fused
+    Arrow pass — encode + LUT gather + per-batch top-k inside
+    :func:`_fused_adc_shortlist` (LUTs travel in the task closure,
+    |Q|·n_sub·k_codes ints) — so the only shuffle is the per-query
+    top-k window over ≤ |batches|·|Q|·k batch-partial candidates
+    instead of |Q|·N scored rows. With a prebuilt ``index`` the
+    frame-based ``zip_with(codes, lut)`` scan over the persisted code
+    table is kept: the caller owns the index's lifetime and its codes
+    are already materialized.
 
     Callers that query repeatedly should build :func:`pq_index` once
-    and pass it as ``index`` — otherwise every invocation persists a
-    fresh code table (MEMORY_AND_DISK) that lives until ContextCleaner
-    reclaims its plan."""
+    and pass it as ``index``."""
     import math  # noqa: PLC0415
 
     if index is not None and codebook is None:
@@ -2058,11 +2187,6 @@ def cosine_topk_pq_adc(
         # frame found no seeds): no codeword ⇒ no scored pairs, like a
         # SQL plan whose seed CTE is empty.
         return _empty_topk(embeddings, id_col, "adist bigint")
-    codes = (
-        index
-        if index is not None
-        else pq_index(embeddings, n_sub, k_codes, id_col, vec_col, cbq)
-    )
     sub = len(cbq[0][0])
     q_rows = embeddings.filter(query_filter).select(id_col, vec_col).collect()
     luts = []
@@ -2079,6 +2203,28 @@ def cosine_topk_pq_adc(
             for m in range(n_sub)
         ]
         luts.append((int(qr[0]), lut))
+    if index is None:
+        # r13: build-from-embeddings path — encode + ADC + partial top-k
+        # fuse into ONE Arrow pass (see _fused_adc_shortlist), replacing
+        # the persisted code table and the interpreted per-row HOF
+        # scoring chain. The prebuilt-index path below keeps the
+        # frame-based scan: its codes are already materialized and the
+        # caller owns the index's lifetime.
+        scored = _fused_adc_shortlist(
+            embeddings, cbq, luts, k, id_col, vec_col
+        )
+        w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("rank").cast("int").alias("rank"),
+                "adist",
+            )
+        )
+    codes = index
     lut_row = spark.createDataFrame(
         [(luts,)], "_lut array<struct<query_id:bigint,l:array<array<bigint>>>>"
     )
@@ -2152,22 +2298,19 @@ def cosine_topk_pq_rerank(
         )
     if not codebook:
         return _empty_topk(embeddings, id_col, "cos_sim double")
-    # r12: the shortlist is ≤ |Q|·shortlist rows but its LINEAGE is the
-    # whole multi-stage ADC plan (index materialization + LUT scoring +
-    # per-query window) — and as the BROADCAST side below, that entire
-    # plan would execute stage-by-stage inside the broadcast-build
-    # thread (no AQE pipelining there; measured 3.9 s vs 2.8 s at
-    # sf0.1). A lazy localCheckpoint truncates the lineage at the
-    # candidate rows, so the broadcast builds from a trivial RDD scan;
-    # blocks are freed by ContextCleaner with the frame, like the
-    # persists in this family.
+    # r12 added a lazy localCheckpoint here because the shortlist's
+    # lineage was the whole multi-stage ADC plan executing inside the
+    # broadcast-build thread (measured 3.9 s vs 2.8 s). r13's fused
+    # Arrow shortlist (one MapInPandas + one window — see
+    # _fused_adc_shortlist) removed those stages, and the checkpoint
+    # re-A/B'd FLAT (1.68 s with vs 1.72 s without, both ±steal), so
+    # the extra materialization job is dropped.
     cand = (
         cosine_topk_pq_adc(
             embeddings, query_filter, shortlist, n_sub, k_codes, id_col,
             vec_col, codebook,
         )
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
     )
     qvecs = embeddings.filter(query_filter).select(
         F.col(id_col).alias("query_id"),
@@ -2404,6 +2547,7 @@ def opq_permutation(
     embeddings: DataFrame,
     n_sub: int = 8,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> list[int]:
     """Variance-balancing dimension permutation: ``perm[new_pos] =
     old_dim``. Per-dim variance is computed EXACTLY — quantized int64
@@ -2414,6 +2558,10 @@ def opq_permutation(
     expression). One map-side-partial aggregation over the corpus
     (64 groups); at 100 TB run it on a sample — the ordering, not the
     values, is what matters."""
+    # r13 NOTE: a scan fan-out was A/B'd here and REJECTED — opq_map
+    # measured 0.72 s -> 0.76 s (the rows×dims explode's partial agg is
+    # not the wall; the entry's time is scan+job+collect fixed cost),
+    # so the exchange buys nothing even in the unsplittable-file regime.
     ex = embeddings.select(
         F.posexplode(F.transform(F.col(vec_col), _q)).alias("dim", "q")
     )
@@ -2468,7 +2616,9 @@ def cosine_topk_pq_opq(
     query cost. The permutation itself is 64 ints; everything else is
     the audited PQ plan."""
     if perm is None:
-        perm = opq_permutation(nonzero_norm(embeddings, vec_col), n_sub, vec_col)
+        perm = opq_permutation(
+            nonzero_norm(embeddings, vec_col), n_sub, vec_col, id_col
+        )
     rotated = apply_permutation(embeddings, perm, vec_col)
     return cosine_topk_pq_rerank(
         rotated, query_filter, k, shortlist, n_sub, k_codes, id_col, vec_col
@@ -2569,8 +2719,21 @@ def pq_residual_seed_codebook(
         raise ValueError(
             f"residual PQ seeding expects ids {lo}..{hi - 1}; found {len(seed_rows)}"
         )
+    return _residual_codebook_from_rows(qcents, seed_rows, n_sub)
+
+
+def _residual_codebook_from_rows(
+    qcents: list[tuple[int, list[int]]],
+    seed_rows,
+    n_sub: int,
+) -> list[list[list[int]]]:
+    """Driver-side core of :func:`pq_residual_seed_codebook`, split out
+    (r13) so callers that already hold the collected seed rows (the
+    fused query path folds centroids + seeds into ONE collect) build
+    the identical codebook without a second scan."""
     if not seed_rows:
         return []
+    cent_by_id = dict(qcents)
     dims = len(seed_rows[0][1])
     if dims % n_sub:
         raise ValueError(f"dims={dims} not divisible by n_sub={n_sub}")
@@ -2729,20 +2892,42 @@ def cosine_topk_ivfpq_residual(
         raise ValueError("passing a prebuilt index requires its codebook")
     embeddings = nonzero_norm(embeddings, vec_col)
     spark = embeddings.sparkSession
-    qcents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
-    cent_by_id = dict(qcents)
-    if codebook is None:
-        codebook = pq_residual_seed_codebook(
-            embeddings, n_centroids, n_sub, k_codes, id_col, vec_col,
-            allow_missing=True,
+    fused = index is None
+    if fused:
+        # r13: ONE collect serves the centroids (id < n_centroids) AND —
+        # when the codebook is being seeded — the disjoint seed range
+        # right above them; the old path paid three identical centroid
+        # collects (here, in pq_residual_seed_codebook, and inside the
+        # index build's cell assignment) plus a separate seed collect,
+        # each a full driver job barrier. Same rows, same codebook
+        # (allow_missing semantics: however many seeds survive the
+        # nonzero-norm gate).
+        hi = n_centroids + (k_codes if codebook is None else 0)
+        rows = sorted(
+            embeddings.filter(F.col(id_col) < hi)
+            .select(id_col, vec_col)
+            .collect(),
+            key=lambda r: r[0],
         )
+        qcents = [
+            (int(r[0]), _qvec(r[1])) for r in rows if int(r[0]) < n_centroids
+        ]
+        if not qcents:
+            raise ValueError(
+                f"no nonzero-norm centroid seeds with {id_col} < {n_centroids}"
+            )
+        if codebook is None:
+            codebook = _residual_codebook_from_rows(
+                qcents,
+                [r for r in rows if int(r[0]) >= n_centroids],
+                n_sub,
+            )
+    else:
+        qcents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    cent_by_id = dict(qcents)
     if not codebook:
         return _empty_topk(embeddings, id_col, "cos_sim double")
     sub = len(codebook[0][0])
-    if index is None:
-        index = ivfpq_residual_index(
-            embeddings, n_centroids, n_sub, k_codes, id_col, vec_col, codebook
-        )
 
     import math  # noqa: PLC0415
 
@@ -2770,41 +2955,55 @@ def cosine_topk_ivfpq_residual(
                 for m in range(n_sub)
             ]
             luts.append((int(qr[0]), int(cell), lut))
-    lut_row = spark.createDataFrame(
-        [(luts,)],
-        "_lut array<struct<query_id:bigint,cell:int,l:array<array<bigint>>>>",
-    )
-
-    per_entry = F.transform(
-        F.col("_lut"),
-        lambda u: F.named_struct(
-            F.lit("query_id"),
-            u["query_id"],
-            F.lit("probed"),
-            u["cell"] == F.col("cell"),
-            F.lit("adist"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    u["l"],
-                    lambda c, lm: F.element_at(lm, c + 1),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-        ),
-    )
-    cand = (
-        index.crossJoin(F.broadcast(lut_row))
-        .select(F.col(id_col).alias("neighbor_id"), F.explode(per_entry).alias("_s"))
-        .filter(F.col("_s")["probed"])
-        .select(
-            F.col("_s")["query_id"].alias("query_id"),
-            "neighbor_id",
-            F.col("_s")["adist"].alias("adist"),
+    if fused:
+        # r13: assignment + residual + encode + probed-ADC + per-batch
+        # top-k fuse into ONE Arrow pass over the corpus (see
+        # _fused_adc_shortlist) — no persisted code table, no
+        # interpreted per-row HOF chains. The prebuilt-index path below
+        # keeps the frame-based scan over the caller's code table.
+        cand = _fused_adc_shortlist(
+            embeddings, codebook, luts, shortlist, id_col, vec_col,
+            qcents=qcents,
         )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
+    else:
+        lut_row = spark.createDataFrame(
+            [(luts,)],
+            "_lut array<struct<query_id:bigint,cell:int,l:array<array<bigint>>>>",
+        )
+
+        per_entry = F.transform(
+            F.col("_lut"),
+            lambda u: F.named_struct(
+                F.lit("query_id"),
+                u["query_id"],
+                F.lit("probed"),
+                u["cell"] == F.col("cell"),
+                F.lit("adist"),
+                F.aggregate(
+                    F.zip_with(
+                        F.col("codes"),
+                        u["l"],
+                        lambda c, lm: F.element_at(lm, c + 1),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ),
+            ),
+        )
+        cand = (
+            index.crossJoin(F.broadcast(lut_row))
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                F.explode(per_entry).alias("_s"),
+            )
+            .filter(F.col("_s")["probed"])
+            .select(
+                F.col("_s")["query_id"].alias("query_id"),
+                "neighbor_id",
+                F.col("_s")["adist"].alias("adist"),
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     # r12 note: cosine_topk_pq_rerank truncates its shortlist lineage
     # with a localCheckpoint before broadcasting (measured −0.7 s); the
